@@ -1,0 +1,258 @@
+"""Synthetic LiDAR worlds and sensor simulation — the test/bench data source.
+
+The reference stack was validated against live hardware and ROS bag replays
+(SURVEY.md §4); neither exists here, so the framework carries its own
+simulator: planar-patch worlds, a 2D line-scanner model (SICK LMS/TIM class,
+ref m3d/sick_minimal_driver), a VLP-16 ring model (ref
+universal_velodyne.launch:47-54), and rotating-unit capture built on the
+same frame chain the live path uses (ingest.frames).
+
+Host-side numpy on purpose: scan generation is I/O-side work that feeds the
+TPU, exactly where the real drivers would sit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpu_slam.ingest.frames import FrameChain
+
+
+@dataclasses.dataclass
+class Patch:
+    """A finite planar rectangle: origin corner + two edge vectors."""
+
+    origin: np.ndarray   # (3,)
+    u: np.ndarray        # (3,) first edge (full length)
+    v: np.ndarray        # (3,) second edge
+
+    @property
+    def normal(self) -> np.ndarray:
+        n = np.cross(self.u, self.v)
+        return n / np.linalg.norm(n)
+
+
+@dataclasses.dataclass
+class World:
+    """A collection of planar patches with vectorized ray casting."""
+
+    patches: List[Patch]
+
+    def _arrays(self):
+        o = np.stack([p.origin for p in self.patches])       # (K, 3)
+        u = np.stack([p.u for p in self.patches])
+        v = np.stack([p.v for p in self.patches])
+        n = np.cross(u, v)
+        n = n / np.linalg.norm(n, axis=1, keepdims=True)
+        return o, u, v, n
+
+    def raycast(self, origins: np.ndarray, dirs: np.ndarray,
+                max_range: float = 130.0) -> np.ndarray:
+        """Cast rays; returns (N,) ranges, inf where nothing was hit.
+
+        origins: (N, 3), dirs: (N, 3) unit vectors, world frame.
+        """
+        o, u, v, n = self._arrays()
+        uu = np.sum(u * u, axis=1)
+        vv = np.sum(v * v, axis=1)
+
+        denom = dirs @ n.T                                  # (N, K)
+        num = (o[None, :, :] - origins[:, None, :])
+        num = np.sum(num * n[None, :, :], axis=2)           # (N, K)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom                                  # (N, K)
+        t = np.where(np.abs(denom) < 1e-9, np.inf, t)
+        t = np.where(t <= 1e-6, np.inf, t)
+
+        with np.errstate(invalid="ignore"):
+            hit = origins[:, None, :] + t[..., None] * dirs[:, None, :]
+            rel = hit - o[None, :, :]                        # (N, K, 3)
+            a = np.sum(rel * u[None, :, :], axis=2) / uu[None, :]
+            b = np.sum(rel * v[None, :, :], axis=2) / vv[None, :]
+        inside = (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+        t = np.where(inside, t, np.inf)
+        r = np.min(t, axis=1)
+        return np.where(r <= max_range, r, np.inf).astype(np.float32)
+
+
+def make_room(size: Tuple[float, float, float] = (10.0, 8.0, 3.0),
+              center: Tuple[float, float] = (0.0, 0.0),
+              boxes: Optional[Sequence[Tuple[np.ndarray, np.ndarray]]] = None
+              ) -> World:
+    """Rectangular room (floor, ceiling, 4 walls) + optional interior boxes.
+
+    ``boxes``: sequence of (min_corner (3,), max_corner (3,)).
+    """
+    sx, sy, sz = size
+    cx, cy = center
+    x0, x1 = cx - sx / 2, cx + sx / 2
+    y0, y1 = cy - sy / 2, cy + sy / 2
+    e = np.array
+
+    patches = [
+        Patch(e([x0, y0, 0.0]), e([sx, 0, 0]), e([0, sy, 0])),   # floor
+        Patch(e([x0, y0, sz]), e([sx, 0, 0]), e([0, sy, 0])),    # ceiling
+        Patch(e([x0, y0, 0.0]), e([sx, 0, 0]), e([0, 0, sz])),   # wall y0
+        Patch(e([x0, y1, 0.0]), e([sx, 0, 0]), e([0, 0, sz])),   # wall y1
+        Patch(e([x0, y0, 0.0]), e([0, sy, 0]), e([0, 0, sz])),   # wall x0
+        Patch(e([x1, y0, 0.0]), e([0, sy, 0]), e([0, 0, sz])),   # wall x1
+    ]
+    for lo, hi in (boxes or []):
+        lo, hi = np.asarray(lo, float), np.asarray(hi, float)
+        d = hi - lo
+        patches += [
+            Patch(lo, e([d[0], 0, 0]), e([0, d[1], 0])),
+            Patch(e([lo[0], lo[1], hi[2]]), e([d[0], 0, 0]), e([0, d[1], 0])),
+            Patch(lo, e([d[0], 0, 0]), e([0, 0, d[2]])),
+            Patch(e([lo[0], hi[1], lo[2]]), e([d[0], 0, 0]), e([0, 0, d[2]])),
+            Patch(lo, e([0, d[1], 0]), e([0, 0, d[2]])),
+            Patch(e([hi[0], lo[1], lo[2]]), e([0, d[1], 0]), e([0, 0, d[2]])),
+        ]
+    return World(patches)
+
+
+def default_office() -> World:
+    """A structured indoor scene with enough geometry to constrain 6 DoF."""
+    return make_room(
+        size=(14.0, 10.0, 3.0),
+        boxes=[
+            (np.array([2.0, 2.0, 0.0]), np.array([3.2, 3.4, 1.2])),
+            (np.array([-4.0, -3.0, 0.0]), np.array([-2.5, -1.8, 2.0])),
+            (np.array([3.5, -3.5, 0.0]), np.array([5.0, -2.0, 0.9])),
+        ])
+
+
+# ---------------------------------------------------------------------------
+# Sensor models
+# ---------------------------------------------------------------------------
+
+def scan_directions_2d(n_beams: int, fov_deg: float = 270.0) -> np.ndarray:
+    """Beam directions of a planar scanner in its own frame (xy-plane).
+
+    Beam i at angle angle_min + i*step, x = cos, y = sin — matching the
+    polar->cartesian expansion the aggregator applies
+    (m3d_aggregator.cpp:269-286).
+    """
+    half = math.radians(fov_deg) / 2
+    ang = np.linspace(-half, half, n_beams, dtype=np.float64)
+    return np.stack([np.cos(ang), np.sin(ang), np.zeros(n_beams)], axis=1)
+
+
+VLP16_ELEVATIONS_DEG = np.array(
+    [-15, 1, -13, 3, -11, 5, -9, 7, -7, 9, -5, 11, -3, 13, -1, 15],
+    dtype=np.float64)
+
+
+def vlp16_directions(n_azimuth: int = 900) -> np.ndarray:
+    """(n_azimuth*16, 3) unit ray directions of one VLP-16 revolution."""
+    az = np.linspace(0.0, 2 * np.pi, n_azimuth, endpoint=False)
+    el = np.radians(VLP16_ELEVATIONS_DEG)
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    ce = np.cos(elg)
+    return np.stack([ce * np.cos(azg), ce * np.sin(azg), np.sin(elg)],
+                    axis=-1).reshape(-1, 3)
+
+
+def simulate_line_scan(world: World, T_world_sensor: np.ndarray,
+                       n_beams: int = 541, fov_deg: float = 270.0,
+                       max_range: float = 100.0,
+                       noise_std: float = 0.0,
+                       rng: Optional[np.random.Generator] = None
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """One 2D scan line. Returns (points_sensor (N,3) f32, valid (N,) bool)."""
+    dirs_s = scan_directions_2d(n_beams, fov_deg)
+    R, t = T_world_sensor[:3, :3], T_world_sensor[:3, 3]
+    dirs_w = dirs_s @ R.T
+    origins = np.broadcast_to(t, dirs_w.shape)
+    r = world.raycast(origins, dirs_w, max_range)
+    valid = np.isfinite(r)
+    if noise_std > 0 and rng is not None:
+        r = r + rng.normal(0.0, noise_std, r.shape)
+    pts = dirs_s * np.where(valid, r, 0.0)[:, None]
+    return pts.astype(np.float32), valid
+
+
+def simulate_vlp16_revolution(world: World, T_world_sensor: np.ndarray,
+                              n_azimuth: int = 900,
+                              max_range: float = 130.0,
+                              min_range: float = 0.4,
+                              noise_std: float = 0.0,
+                              rng: Optional[np.random.Generator] = None
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    """One VLP-16 revolution. Returns (points_sensor (N,3) f32, valid)."""
+    dirs_s = vlp16_directions(n_azimuth)
+    R, t = T_world_sensor[:3, :3], T_world_sensor[:3, 3]
+    dirs_w = dirs_s @ R.T
+    origins = np.broadcast_to(t, dirs_w.shape)
+    r = world.raycast(origins, dirs_w, max_range)
+    valid = np.isfinite(r) & (r >= min_range)
+    if noise_std > 0 and rng is not None:
+        r = r + rng.normal(0.0, noise_std, r.shape)
+    pts = dirs_s * np.where(valid, r, 0.0)[:, None]
+    return pts.astype(np.float32), valid
+
+
+@dataclasses.dataclass
+class RotatingCapture:
+    """One full-rotation capture: the inputs a ScanAggregator consumes."""
+
+    line_points: np.ndarray    # (L, B, 3) float32, sensor frame
+    line_valid: np.ndarray     # (L, B) bool
+    line_transforms: np.ndarray  # (L, 4, 4) float32 base<-sensor
+    encoder_angles: np.ndarray   # (L,) float32
+
+
+def simulate_rotating_capture(world: World, chain: FrameChain,
+                              T_world_base: np.ndarray,
+                              n_lines: int = 180,
+                              sweep_rad: float = 1.2 * math.pi,
+                              n_beams: int = 541,
+                              fov_deg: float = 270.0,
+                              noise_std: float = 0.0,
+                              rng: Optional[np.random.Generator] = None
+                              ) -> RotatingCapture:
+    """Simulate one rotating-unit 3D capture.
+
+    The encoder sweeps ``sweep_rad`` over ``n_lines`` scan lines; each line
+    is ray-cast from the composed world<-base<-laser pose — the synthetic
+    twin of the live path in SURVEY.md §3.1.
+    """
+    import jax.numpy as jnp  # local: keep module importable without jax init
+
+    angles = np.linspace(0.0, sweep_rad, n_lines).astype(np.float32)
+    Ts = np.asarray(chain.base_from_laser(jnp.asarray(angles)))  # (L,4,4)
+
+    pts = np.zeros((n_lines, n_beams, 3), np.float32)
+    val = np.zeros((n_lines, n_beams), bool)
+    for i in range(n_lines):
+        T_ws = T_world_base @ Ts[i]
+        pts[i], val[i] = simulate_line_scan(
+            world, T_ws, n_beams=n_beams, fov_deg=fov_deg,
+            noise_std=noise_std, rng=rng)
+    return RotatingCapture(line_points=pts, line_valid=val,
+                           line_transforms=Ts.astype(np.float32),
+                           encoder_angles=angles)
+
+
+def se2_pose(x: float, y: float, yaw: float, z: float = 0.0) -> np.ndarray:
+    """Planar robot pose -> 4x4 world<-base transform."""
+    c, s = math.cos(yaw), math.sin(yaw)
+    T = np.eye(4)
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def trajectory_loop(n_poses: int, radius: float = 3.0,
+                    z: float = 0.5) -> np.ndarray:
+    """(N, 4, 4) circular trajectory that closes on itself (loop closure)."""
+    Ts = np.zeros((n_poses, 4, 4))
+    for i in range(n_poses):
+        a = 2 * np.pi * i / n_poses
+        Ts[i] = se2_pose(radius * math.cos(a), radius * math.sin(a),
+                         a + np.pi / 2, z)
+    return Ts
