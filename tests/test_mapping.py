@@ -1,0 +1,128 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.core import se3
+from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.kernels.voxel_hash import INVALID_KEY, VoxelGridSpec
+from tpu_slam.mapping.voxel_map import (empty_map, insert_cloud,
+                                        voxel_covariances, voxel_means,
+                                        voxel_normals, lookup_voxels,
+                                        scan_to_voxel_stats)
+from tpu_slam.registration.ndt import NDTParams, ndt_field, ndt_register
+from tpu_slam.ingest import synthetic as syn
+
+
+SPEC = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+
+
+def _plane_cloud(rng, n=2000, z=0.0, extent=5.0, noise=0.01):
+    pts = np.stack([rng.uniform(-extent, extent, n),
+                    rng.uniform(-extent, extent, n),
+                    z + rng.normal(0, noise, n)], axis=1).astype(np.float32)
+    return PointCloud.from_points(jnp.asarray(pts), capacity=max(2048, n))
+
+
+def test_insert_and_means():
+    rng = np.random.default_rng(0)
+    cloud = _plane_cloud(rng)
+    m = empty_map(4096)
+    m = insert_cloud(m, cloud, SPEC, stamp=0.0)
+    occ = int(m.n_occupied())
+    assert occ > 50
+    # total integrated points equals valid input points
+    assert int(jnp.sum(m.count)) == int(cloud.count())
+    # keys are sorted with INVALID tail
+    keys = np.asarray(m.keys)
+    valid = keys != int(INVALID_KEY)
+    assert (np.diff(keys[valid]) > 0).all()
+    # all means lie near z=0 plane
+    means = np.asarray(voxel_means(m, SPEC))[valid]
+    assert np.abs(means[:, 2]).max() < 0.05
+
+
+def test_incremental_merge_equals_batch():
+    rng = np.random.default_rng(1)
+    a = _plane_cloud(rng, 800)
+    b = _plane_cloud(rng, 800, z=1.0)
+    m1 = insert_cloud(insert_cloud(empty_map(4096), a, SPEC, 0.0), b, SPEC, 1.0)
+
+    from tpu_slam.core.pointcloud import merge
+    m2 = insert_cloud(empty_map(4096), merge(a, b), SPEC, 1.0)
+    assert int(m1.n_occupied()) == int(m2.n_occupied())
+    np.testing.assert_array_equal(np.asarray(m1.keys), np.asarray(m2.keys))
+    np.testing.assert_allclose(np.asarray(m1.count), np.asarray(m2.count))
+    np.testing.assert_allclose(np.asarray(voxel_means(m1, SPEC)),
+                               np.asarray(voxel_means(m2, SPEC)), atol=1e-4)
+
+
+def test_eviction_keeps_recent():
+    rng = np.random.default_rng(2)
+    cap = 64  # force eviction
+    m = empty_map(cap)
+    m = insert_cloud(m, _plane_cloud(rng, 500, z=0.0), SPEC, stamp=0.0)
+    m = insert_cloud(m, _plane_cloud(rng, 500, z=2.0), SPEC, stamp=1.0)
+    means = np.asarray(voxel_means(m, SPEC))
+    occ = np.asarray(m.occupied_mask())
+    # the newer (z=2) voxels must dominate after eviction
+    frac_new = (np.abs(means[occ][:, 2] - 2.0) < 0.3).mean()
+    assert frac_new > 0.9
+
+
+def test_normals_on_plane():
+    rng = np.random.default_rng(3)
+    m = insert_cloud(empty_map(4096), _plane_cloud(rng, 4000, noise=0.005),
+                     SPEC, 0.0)
+    normals, valid = voxel_normals(m, min_count=5.0)
+    nz = np.abs(np.asarray(normals)[np.asarray(valid)][:, 2])
+    assert np.asarray(valid).sum() > 20
+    assert (nz > 0.99).mean() > 0.95  # normals along z for an xy-plane
+
+
+def test_lookup_voxels():
+    rng = np.random.default_rng(4)
+    cloud = _plane_cloud(rng, 300)
+    m = insert_cloud(empty_map(1024), cloud, SPEC, 0.0)
+    # every occupied key must be found at its own slot
+    keys = m.keys
+    slots = lookup_voxels(m, keys)
+    occ = np.asarray(m.occupied_mask())
+    np.testing.assert_array_equal(np.asarray(slots)[occ],
+                                  np.arange(m.capacity)[occ])
+    # an absent key returns -1
+    assert int(lookup_voxels(m, jnp.asarray([12345679], jnp.int32))[0]) in (-1,)
+
+
+def test_ndt_register_recovers_transform():
+    world = syn.default_office()
+    T = np.eye(4); T[:3, 3] = [0, 0, 1.5]
+    pts, valid = syn.simulate_vlp16_revolution(world, T, n_azimuth=360)
+    cloud = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=8192)
+
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+    m = insert_cloud(empty_map(8192), cloud, spec, 0.0)
+    params = NDTParams(max_iterations=40)
+    field = ndt_field(m, spec, params)
+
+    xi_true = jnp.array([0.2, -0.15, 0.1, 0.03, -0.02, 0.05], jnp.float32)
+    T_true = se3.exp(xi_true)
+    src = cloud.transform(se3.inverse(T_true))
+
+    res = ndt_register(src, field, spec, params=params)
+    err = se3.log(se3.compose(se3.inverse(T_true), res.T))
+    assert float(jnp.linalg.norm(err[:3])) < 0.05, np.asarray(res.T)
+    assert float(jnp.linalg.norm(err[3:])) < 0.02
+    assert float(res.matched_fraction) > 0.7
+
+
+def test_ndt_identity():
+    world = syn.default_office()
+    T = np.eye(4); T[:3, 3] = [0, 0, 1.5]
+    pts, valid = syn.simulate_vlp16_revolution(world, T, n_azimuth=240)
+    cloud = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=4096)
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+    m = insert_cloud(empty_map(8192), cloud, spec, 0.0)
+    res = ndt_register(cloud, ndt_field(m, spec), spec)
+    # NDT pulls points toward voxel means; ~1% of leaf drift is inherent
+    np.testing.assert_allclose(np.asarray(res.T), np.eye(4), atol=6e-3)

@@ -1,0 +1,251 @@
+"""Sorted-voxel-list map with per-voxel Gaussian statistics.
+
+The reference's missing CUDA core kept GPU voxel structures for NDT matching
+and occupancy (SURVEY.md §2.2). The TPU-native design avoids device hash
+tables with pointers entirely:
+
+  * the map is a fixed-capacity array of voxels **sorted by packed cell
+    key** (kernels.voxel_hash), empty tail at INVALID_KEY;
+  * each voxel carries first/second moments (count, sum, sum of outer
+    products) so mean and covariance — and from them NDT Gaussians and
+    surface normals — are derivable at any time;
+  * insertion = aggregate the incoming scan per voxel (sorted segment_sum),
+    concatenate with the map, sort, segment-reduce duplicates, compact:
+    pure data-parallel primitives XLA pipelines well, with deterministic
+    reduction order (SURVEY.md §7.3);
+  * when over capacity, voxels are evicted by oldest update stamp —
+    the bounded-capacity knob SURVEY.md §7.3 accepts;
+  * lookup is binary search (searchsorted) over the sorted keys — the same
+    access path kernels.nn_search.nearest_neighbors_hash uses.
+
+Moments are accumulated in float32; at leaf sizes ~0.1-1 m and counts
+<< 1e6 per voxel this holds millimeter-accurate covariances because moments
+are taken about the voxel-local origin (points are stored relative to each
+voxel's corner, keeping magnitudes ~leaf instead of ~world extent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_slam.core.pointcloud import PAD_COORD, PointCloud
+from tpu_slam.kernels.voxel_hash import (
+    INVALID_KEY,
+    VoxelGridSpec,
+    segment_ids_from_sorted_keys,
+    voxel_keys,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VoxelMap:
+    """Fixed-capacity sorted voxel map. All arrays length ``capacity``.
+
+    ``sum_pts``/``sum_outer`` are moments of points *relative to the voxel's
+    corner coordinate* (decode_corner), for float32 accuracy.
+    """
+
+    keys: jax.Array        # (C,) int32 sorted ascending; INVALID_KEY = empty
+    count: jax.Array       # (C,) float32 number of integrated points
+    sum_pts: jax.Array     # (C, 3) float32 sum of voxel-local coordinates
+    sum_outer: jax.Array   # (C, 3, 3) float32 sum of outer products (local)
+    stamp: jax.Array       # (C,) float32 last-update time (eviction priority)
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    def n_occupied(self) -> jax.Array:
+        return jnp.sum((self.keys != INVALID_KEY).astype(jnp.int32))
+
+    def occupied_mask(self) -> jax.Array:
+        return self.keys != INVALID_KEY
+
+
+def empty_map(capacity: int) -> VoxelMap:
+    return VoxelMap(
+        keys=jnp.full((capacity,), INVALID_KEY, jnp.int32),
+        count=jnp.zeros((capacity,), jnp.float32),
+        sum_pts=jnp.zeros((capacity, 3), jnp.float32),
+        sum_outer=jnp.zeros((capacity, 3, 3), jnp.float32),
+        stamp=jnp.full((capacity,), -jnp.inf, jnp.float32),
+    )
+
+
+def decode_corner(keys: jax.Array, spec: VoxelGridSpec) -> jax.Array:
+    """(...,) int32 keys -> (..., 3) float32 world coordinate of cell corner."""
+    b = spec.dim_bits
+    n = spec.cells_per_axis
+    ix = (keys >> (2 * b)) & (n - 1)
+    iy = (keys >> b) & (n - 1)
+    iz = keys & (n - 1)
+    coords = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    return coords * spec.leaf + origin
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def scan_to_voxel_stats(cloud: PointCloud, spec: VoxelGridSpec
+                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Aggregate a cloud into per-voxel moments (voxel-local coordinates).
+
+    Returns (keys (N,), count (N,), sum_pts (N,3), sum_outer (N,3,3)) with
+    one leading entry per occupied voxel, INVALID_KEY tail. N = capacity of
+    the input cloud (worst case one point per voxel).
+    """
+    n = cloud.capacity
+    keys = voxel_keys(cloud, spec)
+    order = jnp.argsort(keys, stable=True)
+    skeys = jnp.take(keys, order)
+    spts = jnp.take(cloud.points, order, axis=0)
+    valid = skeys != INVALID_KEY
+
+    corners = decode_corner(skeys, spec)
+    local = jnp.where(valid[:, None], spts - corners, 0.0)
+    outer = local[:, :, None] * local[:, None, :]
+
+    seg_ids, is_start = segment_ids_from_sorted_keys(skeys)
+    w = valid.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(w, seg_ids, num_segments=n)
+    ssum = jax.ops.segment_sum(local, seg_ids, num_segments=n)
+    souter = jax.ops.segment_sum(outer * w[:, None, None], seg_ids,
+                                 num_segments=n)
+    seg_key = jax.ops.segment_max(jnp.where(is_start & valid, skeys,
+                                            jnp.int32(-2147483648)),
+                                  seg_ids, num_segments=n)
+    seg_valid = cnt > 0
+    out_keys = jnp.where(seg_valid, seg_key, INVALID_KEY)
+
+    # Compact occupied voxels to the front (stable sort by validity).
+    order2 = jnp.argsort(~seg_valid, stable=True)
+    return (jnp.take(out_keys, order2), jnp.take(cnt, order2),
+            jnp.take(ssum, order2, axis=0), jnp.take(souter, order2, axis=0))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def insert_scan_stats(vmap: VoxelMap, keys: jax.Array, count: jax.Array,
+                      sum_pts: jax.Array, sum_outer: jax.Array,
+                      stamp: jax.Array) -> VoxelMap:
+    """Merge per-voxel aggregates into the map (sort-merge-reduce-compact).
+
+    Over-capacity resolution: voxels with the *oldest* last-update stamp are
+    evicted first; among equal stamps, arbitrary but deterministic.
+    """
+    C = vmap.capacity
+    new_stamp = jnp.where(keys != INVALID_KEY, stamp, -jnp.inf)
+
+    all_keys = jnp.concatenate([vmap.keys, keys])
+    all_cnt = jnp.concatenate([vmap.count, count])
+    all_sum = jnp.concatenate([vmap.sum_pts, sum_pts], axis=0)
+    all_outer = jnp.concatenate([vmap.sum_outer, sum_outer], axis=0)
+    all_stamp = jnp.concatenate([vmap.stamp, new_stamp])
+
+    order = jnp.argsort(all_keys, stable=True)
+    k = jnp.take(all_keys, order)
+    c = jnp.take(all_cnt, order)
+    s = jnp.take(all_sum, order, axis=0)
+    o = jnp.take(all_outer, order, axis=0)
+    st = jnp.take(all_stamp, order)
+
+    m = k.shape[0]
+    seg_ids, is_start = segment_ids_from_sorted_keys(k)
+    valid = k != INVALID_KEY
+    mc = jax.ops.segment_sum(c, seg_ids, num_segments=m)
+    ms = jax.ops.segment_sum(s, seg_ids, num_segments=m)
+    mo = jax.ops.segment_sum(o, seg_ids, num_segments=m)
+    mst = jax.ops.segment_max(jnp.where(valid, st, -jnp.inf), seg_ids,
+                              num_segments=m)
+    mk = jax.ops.segment_max(jnp.where(is_start & valid, k,
+                                       jnp.int32(-2147483648)),
+                             seg_ids, num_segments=m)
+    seg_valid = mc > 0
+    mk = jnp.where(seg_valid, mk, INVALID_KEY)
+
+    # Keep the C most recent voxels: sort by (invalid, -stamp) and truncate,
+    # then restore key order for binary-searchability.
+    evict_rank = jnp.where(seg_valid, -mst, jnp.inf)
+    keep_order = jnp.argsort(evict_rank, stable=True)[:C]
+    kk = jnp.take(mk, keep_order)
+    kc = jnp.take(mc, keep_order)
+    ks = jnp.take(ms, keep_order, axis=0)
+    ko = jnp.take(mo, keep_order, axis=0)
+    kst = jnp.take(mst, keep_order)
+
+    final = jnp.argsort(kk, stable=True)
+    return VoxelMap(
+        keys=jnp.take(kk, final),
+        count=jnp.take(kc, final),
+        sum_pts=jnp.take(ks, final, axis=0),
+        sum_outer=jnp.take(ko, final, axis=0),
+        stamp=jnp.take(kst, final),
+    )
+
+
+def insert_cloud(vmap: VoxelMap, cloud: PointCloud, spec: VoxelGridSpec,
+                 stamp: float | jax.Array = 0.0) -> VoxelMap:
+    """Integrate a (world-frame) cloud into the map."""
+    keys, cnt, ssum, souter = scan_to_voxel_stats(cloud, spec)
+    return insert_scan_stats(vmap, keys, cnt, ssum, souter,
+                             jnp.asarray(stamp, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities
+# ---------------------------------------------------------------------------
+
+def voxel_means(vmap: VoxelMap, spec: VoxelGridSpec) -> jax.Array:
+    """(C, 3) world-frame voxel means; PAD_COORD where empty."""
+    occ = vmap.occupied_mask()
+    cnt = jnp.maximum(vmap.count, 1.0)
+    local_mean = vmap.sum_pts / cnt[:, None]
+    corners = decode_corner(vmap.keys, spec)
+    mean = corners + local_mean
+    return jnp.where(occ[:, None], mean, PAD_COORD)
+
+
+def voxel_covariances(vmap: VoxelMap, min_count: float = 5.0,
+                      regularization: float = 1e-3) -> jax.Array:
+    """(C, 3, 3) covariance per voxel, identity-regularized.
+
+    Covariance = M2/n - mean mean^T (moments are voxel-local so this is
+    well-conditioned in float32). Voxels with fewer than ``min_count``
+    points get an isotropic placeholder — their Gaussian is meaningless.
+    ``regularization`` adds eps*I, the standard NDT conditioning.
+    """
+    cnt = jnp.maximum(vmap.count, 1.0)
+    mean = vmap.sum_pts / cnt[:, None]
+    cov = vmap.sum_outer / cnt[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    eye = jnp.eye(3, dtype=cov.dtype)
+    cov = cov + regularization * eye
+    poor = vmap.count < min_count
+    return jnp.where(poor[:, None, None], eye * 0.05, cov)
+
+
+def voxel_normals(vmap: VoxelMap, min_count: float = 5.0
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Surface normal per voxel = eigenvector of the smallest eigenvalue.
+
+    Returns (normals (C, 3), valid (C,)). Valid requires enough points and a
+    planar covariance (smallest eigenvalue well below the middle one).
+    """
+    cov = voxel_covariances(vmap, min_count=min_count)
+    evals, evecs = jnp.linalg.eigh(cov)          # ascending eigenvalues
+    normals = evecs[:, :, 0]
+    planar = evals[:, 0] < 0.25 * jnp.maximum(evals[:, 1], 1e-12)
+    valid = vmap.occupied_mask() & (vmap.count >= min_count) & planar
+    return normals, valid
+
+
+def lookup_voxels(vmap: VoxelMap, query_keys: jax.Array) -> jax.Array:
+    """Binary-search query keys in the sorted map. Returns (N,) int32 slot
+    index, -1 where the key is absent."""
+    pos = jnp.searchsorted(vmap.keys, query_keys)
+    pos = jnp.clip(pos, 0, vmap.capacity - 1)
+    hit = (jnp.take(vmap.keys, pos) == query_keys) & (query_keys != INVALID_KEY)
+    return jnp.where(hit, pos, -1)
