@@ -238,3 +238,40 @@ exp_batch = jax.vmap(exp)
 log_batch = jax.vmap(log)
 inverse_batch = jax.vmap(inverse)
 apply_batch = jax.vmap(apply, in_axes=(0, 0))
+
+
+# ---------------------------------------------------------------------------
+# Adjoints (pose-graph Jacobian machinery)
+# ---------------------------------------------------------------------------
+
+def adjoint(T: jax.Array) -> jax.Array:
+    """SE(3) adjoint, 6x6, for xi = [v, w] ordering:
+
+        Ad(T) = [[R, hat(t) R], [0, R]]   with   Ad(T) xi = log(T exp(xi) T^-1)
+    """
+    R = T[:3, :3]
+    t = T[:3, 3]
+    top = jnp.concatenate([R, hat(t) @ R], axis=1)
+    bot = jnp.concatenate([jnp.zeros((3, 3), T.dtype), R], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def ad(xi: jax.Array) -> jax.Array:
+    """se(3) small adjoint: ad(xi) = [[hat(w), hat(v)], [0, hat(w)]]."""
+    v, w = xi[:3], xi[3:]
+    W = hat(w)
+    top = jnp.concatenate([W, hat(v)], axis=1)
+    bot = jnp.concatenate([jnp.zeros((3, 3), xi.dtype), W], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def left_jacobian_inv_approx(xi: jax.Array) -> jax.Array:
+    """Second-order approximation of the inverse SE(3) left Jacobian.
+
+    J_l^{-1}(xi) ~= I - ad(xi)/2 + ad(xi)^2/12 — exact enough for the
+    pose-graph residual magnitudes GN operates at (the series truncation
+    error is O(|xi|^4)).
+    """
+    A = ad(xi)
+    eye = jnp.eye(6, dtype=xi.dtype)
+    return eye - 0.5 * A + (1.0 / 12.0) * (A @ A)

@@ -1,0 +1,96 @@
+"""Loop-closure detection: proximity candidates + batched ICP verification.
+
+The reference's loop closure lived in the missing CPU graph-SLAM backend
+(SURVEY.md §2.2 [inferred]). TPU-native design: candidate generation is a
+dense pairwise pose-distance computation (cheap — one (N, N) matrix), and
+verification registers ALL candidate keyframe pairs in one vmapped ICP
+batch — the DP axis of SURVEY.md §2.3, ready to shard over devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.core import se3
+from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.registration.icp import ICPParams, ICPResult, icp
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureParams:
+    """Static loop-closure configuration."""
+
+    max_distance: float = 2.0        # candidate gate on position distance
+    min_index_gap: int = 20          # skip temporally adjacent keyframes
+    max_candidates: int = 16         # per detection sweep (static batch)
+    min_matched_fraction: float = 0.5
+    max_error: float = 0.05          # mean squared residual acceptance gate
+    icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0,
+                               huber_delta=0.3)
+
+
+def propose_candidates(positions: jax.Array, n_nodes: int,
+                       params: LoopClosureParams
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Proximity-gated candidate pairs (i, j), i + gap <= j.
+
+    positions: (N, 3) keyframe positions (poses[:, :3, 3]). Host-side
+    (candidate lists are tiny and drive batched device work). Returns up to
+    ``max_candidates`` pairs, nearest-first.
+    """
+    n = int(n_nodes)
+    pos = np.asarray(positions)[:n]
+    if n < params.min_index_gap + 2:
+        return np.zeros((0,), np.int32), np.zeros((0,), np.int32)
+    d = np.linalg.norm(pos[:, None, :] - pos[None, :, :], axis=-1)
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ok = (jj - ii >= params.min_index_gap) & (d <= params.max_distance)
+    ci, cj = np.nonzero(ok)
+    if ci.size == 0:
+        return np.zeros((0,), np.int32), np.zeros((0,), np.int32)
+    order = np.argsort(d[ci, cj], kind="stable")[:params.max_candidates]
+    return ci[order].astype(np.int32), cj[order].astype(np.int32)
+
+
+def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
+                      poses: jax.Array, cand_i: np.ndarray,
+                      cand_j: np.ndarray, params: LoopClosureParams
+                      ) -> Tuple[ICPResult, jax.Array]:
+    """Register candidate pairs in one vmapped batch.
+
+    Args:
+      clouds_points: (N, P, 3) keyframe clouds in their OWN body frames.
+      clouds_mask: (N, P) validity.
+      poses: (N, 4, 4) current world<-keyframe estimates (init guesses).
+      cand_i/cand_j: (K,) candidate indices (host arrays).
+
+    Returns (batched ICPResult with leading axis K, accept (K,) bool). The
+    measured constraint for edge (i, j) is Z = result.T — the transform
+    satisfying cloud_j ~ Z @ cloud_i... specifically ICP maps source=cloud_j
+    onto target=cloud_i, so Z = T_i^-1 T_j refined; feed to
+    pose_graph.add_edge(i, j, Z).
+    """
+    ci = jnp.asarray(cand_i)
+    cj = jnp.asarray(cand_j)
+    src_pts = jnp.take(clouds_points, cj, axis=0)
+    src_msk = jnp.take(clouds_mask, cj, axis=0)
+    tgt_pts = jnp.take(clouds_points, ci, axis=0)
+    tgt_msk = jnp.take(clouds_mask, ci, axis=0)
+    Ti = jnp.take(poses, ci, axis=0)
+    Tj = jnp.take(poses, cj, axis=0)
+    init = jax.vmap(lambda a, b: se3.inverse(a) @ b)(Ti, Tj)
+
+    def one(sp, sm, tp, tm, T0):
+        return icp(PointCloud(points=sp, mask=sm),
+                   PointCloud(points=tp, mask=tm),
+                   init_T=T0, params=params.icp)
+
+    res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, init)
+    accept = ((res.matched_fraction >= params.min_matched_fraction)
+              & (res.error <= params.max_error) & res.converged)
+    return res, accept

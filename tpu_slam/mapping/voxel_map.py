@@ -249,3 +249,69 @@ def lookup_voxels(vmap: VoxelMap, query_keys: jax.Array) -> jax.Array:
     pos = jnp.clip(pos, 0, vmap.capacity - 1)
     hit = (jnp.take(vmap.keys, pos) == query_keys) & (query_keys != INVALID_KEY)
     return jnp.where(hit, pos, -1)
+
+
+def neighborhood_moments(vmap: VoxelMap, spec: VoxelGridSpec
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Aggregate 3x3x3-neighborhood moments for every occupied voxel.
+
+    Per-voxel statistics are sparse (a fresh voxel may hold 1-4 points);
+    surface estimation needs support. For each voxel, gather the moments of
+    its 27 neighbors — shifting each neighbor's voxel-local moments to the
+    center voxel's corner frame:
+
+        sum'   = sum + n * d
+        outer' = outer + d sum^T + sum d^T + n d d^T,   d = corner_v - corner_0
+
+    Returns (count (C,), mean_world (C, 3), cov (C, 3, 3)).
+    """
+    from tpu_slam.kernels.voxel_hash import neighbor_offsets_keys
+
+    c = vmap.capacity
+    nkeys = neighbor_offsets_keys(vmap.keys, spec)            # (C, 27)
+    pos = jnp.clip(jnp.searchsorted(vmap.keys, nkeys), 0, c - 1)
+    hit = (jnp.take(vmap.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
+    w = hit.astype(jnp.float32)
+
+    n_v = jnp.take(vmap.count, pos) * w                       # (C, 27)
+    s_v = jnp.take(vmap.sum_pts, pos, axis=0) * w[..., None]  # (C, 27, 3)
+    o_v = jnp.take(vmap.sum_outer, pos, axis=0) * w[..., None, None]
+
+    corners0 = decode_corner(vmap.keys, spec)                 # (C, 3)
+    corners_v = decode_corner(nkeys, spec)                    # (C, 27, 3)
+    d = jnp.where(hit[..., None], corners_v - corners0[:, None, :], 0.0)
+
+    s_shift = s_v + n_v[..., None] * d
+    o_shift = (o_v + d[..., :, None] * s_v[..., None, :]
+               + s_v[..., :, None] * d[..., None, :]
+               + n_v[..., None, None] * d[..., :, None] * d[..., None, :])
+
+    cnt = jnp.sum(n_v, axis=1)                                # (C,)
+    ssum = jnp.sum(s_shift, axis=1)                           # (C, 3)
+    souter = jnp.sum(o_shift, axis=1)                         # (C, 3, 3)
+
+    safe = jnp.maximum(cnt, 1.0)
+    mean_local = ssum / safe[:, None]
+    cov = souter / safe[:, None, None] - mean_local[:, :, None] * mean_local[:, None, :]
+    mean_world = corners0 + mean_local
+    occ = vmap.occupied_mask()
+    mean_world = jnp.where(occ[:, None], mean_world, PAD_COORD)
+    return cnt, mean_world, cov
+
+
+def voxel_normals_neighborhood(vmap: VoxelMap, spec: VoxelGridSpec,
+                               min_count: float = 6.0,
+                               planarity: float = 0.25
+                               ) -> Tuple[jax.Array, jax.Array]:
+    """Surface normals from 3x3x3-neighborhood covariance.
+
+    Far more robust than single-voxel normals on sparse maps (a LiDAR scan
+    leaves only a few points per voxel). Returns (normals (C,3), valid (C,)).
+    """
+    cnt, _, cov = neighborhood_moments(vmap, spec)
+    cov = cov + 1e-6 * jnp.eye(3, dtype=cov.dtype)
+    evals, evecs = jnp.linalg.eigh(cov)
+    normals = evecs[:, :, 0]
+    planar = evals[:, 0] < planarity * jnp.maximum(evals[:, 1], 1e-12)
+    valid = vmap.occupied_mask() & (cnt >= min_count) & planar
+    return normals, valid

@@ -1,0 +1,104 @@
+"""Checkpoint / resume of SLAM state.
+
+The reference persisted only the calibration extrinsic and the motor homing
+offset (SURVEY.md §5 'Checkpoint/resume'); the new framework checkpoints
+the full SLAM state — keyframe poses, keyframe clouds, pose-graph edges,
+voxel-map arrays, odometry pose — so a run resumes mid-sequence
+deterministically (same arrays in, same arrays out).
+
+Format: one .npz with every array leaf + a JSON manifest of scalars. No
+framework lock-in; loadable with plain numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.graph.pose_graph import PoseGraph
+from tpu_slam.mapping.voxel_map import VoxelMap
+from tpu_slam.pipeline.odometry import OdometryState
+from tpu_slam.pipeline.slam import SLAMState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
+    """Write the SLAM state to ``path`` (.npz). Returns the path written."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {
+        "odom_pose": np.asarray(state.odom.pose),
+        "odom_last_delta": np.asarray(state.odom.last_delta),
+        "map_keys": np.asarray(state.odom.vmap.keys),
+        "map_count": np.asarray(state.odom.vmap.count),
+        "map_sum_pts": np.asarray(state.odom.vmap.sum_pts),
+        "map_sum_outer": np.asarray(state.odom.vmap.sum_outer),
+        "map_stamp": np.asarray(state.odom.vmap.stamp),
+        "graph_poses": np.asarray(state.graph.poses),
+        "graph_edge_i": np.asarray(state.graph.edge_i),
+        "graph_edge_j": np.asarray(state.graph.edge_j),
+        "graph_edge_T": np.asarray(state.graph.edge_T),
+        "graph_edge_info": np.asarray(state.graph.edge_info),
+        "graph_edge_mask": np.asarray(state.graph.edge_mask),
+        "kf_points": np.asarray(state.kf_points),
+        "kf_mask": np.asarray(state.kf_mask),
+        "last_kf_pose": np.asarray(state.last_kf_pose),
+    }
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "scan_index": int(state.odom.scan_index
+                          if scan_index < 0 else scan_index),
+        "odom_scan_index": int(state.odom.scan_index),
+        "n_nodes": int(state.graph.n_nodes),
+        "n_keyframes": int(state.n_keyframes),
+        "n_loop_closures": int(state.n_loop_closures),
+    }
+    np.savez_compressed(path, manifest=json.dumps(manifest), **arrays)
+    return path
+
+
+def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
+    """Load a checkpoint; returns (SLAMState, manifest dict)."""
+    with np.load(path, allow_pickle=False) as z:
+        manifest = json.loads(str(z["manifest"]))
+        if manifest["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {manifest['format_version']} "
+                f"!= supported {_FORMAT_VERSION}")
+        vmap = VoxelMap(
+            keys=jnp.asarray(z["map_keys"]),
+            count=jnp.asarray(z["map_count"]),
+            sum_pts=jnp.asarray(z["map_sum_pts"]),
+            sum_outer=jnp.asarray(z["map_sum_outer"]),
+            stamp=jnp.asarray(z["map_stamp"]),
+        )
+        odom = OdometryState(
+            pose=jnp.asarray(z["odom_pose"]),
+            last_delta=jnp.asarray(z["odom_last_delta"]),
+            vmap=vmap,
+            scan_index=manifest["odom_scan_index"],
+        )
+        graph = PoseGraph(
+            poses=jnp.asarray(z["graph_poses"]),
+            n_nodes=jnp.int32(manifest["n_nodes"]),
+            edge_i=jnp.asarray(z["graph_edge_i"]),
+            edge_j=jnp.asarray(z["graph_edge_j"]),
+            edge_T=jnp.asarray(z["graph_edge_T"]),
+            edge_info=jnp.asarray(z["graph_edge_info"]),
+            edge_mask=jnp.asarray(z["graph_edge_mask"]),
+        )
+        state = SLAMState(
+            odom=odom,
+            graph=graph,
+            kf_points=jnp.asarray(z["kf_points"]),
+            kf_mask=jnp.asarray(z["kf_mask"]),
+            n_keyframes=manifest["n_keyframes"],
+            last_kf_pose=jnp.asarray(z["last_kf_pose"]),
+            n_loop_closures=manifest["n_loop_closures"],
+        )
+    return state, manifest

@@ -1,0 +1,75 @@
+"""Configuration tree for the pipelines.
+
+Mirrors the reference's ROS-param style (every node reads ~-private params
+with defaults, SURVEY.md §5 'Config/flag system') as nested frozen
+dataclasses: hashable, usable directly as jit static arguments, overridable
+from CLI/JSON (cli/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from tpu_slam.graph.loop_closure import LoopClosureParams
+from tpu_slam.graph.pose_graph import GraphSolveParams
+from tpu_slam.kernels.voxel_hash import VoxelGridSpec
+from tpu_slam.registration.icp import ICPParams
+from tpu_slam.registration.ndt import NDTParams
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-map odometry configuration."""
+
+    # Input handling
+    scan_capacity: int = 32768          # padded size of downsampled scans
+    downsample_leaf: float = 0.2        # scan voxel-downsample leaf (m)
+
+    # Map
+    map_leaf: float = 0.5               # map voxel leaf (m)
+    map_half_extent: float = 100.0      # world half-extent covered by keys
+    map_capacity: int = 131072          # max occupied voxels
+
+    # Registration
+    method: str = "ndt"                 # 'ndt' | 'icp_point' | 'icp_plane'
+    ndt: NDTParams = NDTParams(max_iterations=30)
+    icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0)
+
+    # Motion model / insertion policy
+    use_constant_velocity: bool = True
+    max_pred_translation: float = 0.7   # clamp on CV-extrapolated motion (m)
+    max_pred_rotation: float = 0.3      # ... and rotation (rad)
+    insert_every: int = 1               # integrate every k-th scan into map
+    min_insert_fraction: float = 0.7    # skip map insert below this quality
+    min_accept_fraction: float = 0.3    # below this, reject the registration
+                                        # and coast on the prediction
+
+    def map_spec(self) -> VoxelGridSpec:
+        return VoxelGridSpec.centered(leaf=self.map_leaf,
+                                      half_extent=self.map_half_extent)
+
+    def scan_spec(self) -> VoxelGridSpec:
+        return VoxelGridSpec.centered(leaf=self.downsample_leaf,
+                                      half_extent=self.map_half_extent)
+
+
+@dataclasses.dataclass(frozen=True)
+class SLAMConfig:
+    """Full SLAM system configuration (odometry + graph backend)."""
+
+    odometry: OdometryConfig = OdometryConfig()
+
+    # Keyframe policy
+    keyframe_translation: float = 0.5   # new keyframe after this motion (m)
+    keyframe_rotation: float = 0.3      # ... or this rotation (rad)
+    keyframe_capacity: int = 512
+    keyframe_cloud_capacity: int = 8192  # stored downsampled points per kf
+
+    # Loop closure / graph
+    loop_every: int = 5                 # run detection every k keyframes
+    loop: LoopClosureParams = LoopClosureParams()
+    graph: GraphSolveParams = GraphSolveParams(gn_iterations=8)
+    edge_capacity: int = 2048
+    odom_edge_info: float = 100.0       # information weight of odometry edges
+    rebuild_map_after_loop: bool = True

@@ -1,0 +1,183 @@
+"""Scan-to-map LiDAR odometry — the hot loop of the SLAM engine.
+
+Host-driven loop with device-resident state (SURVEY.md §7.3: a lax.scan
+over a whole sequence would pin every intermediate map in memory; instead
+the map stays resident on device and only poses/metrics round-trip).
+
+Per scan:
+  1. voxel-downsample the incoming cloud (kernels.downsample),
+  2. predict an initial pose (constant-velocity motion model),
+  3. register against the map — NDT (registration.ndt) or ICP against voxel
+     means/normals (registration.icp),
+  4. update the pose and integrate the scan into the map
+     (mapping.voxel_map).
+
+The reference's equivalent loop lived in the CUDA gpu_6dslam node
+(SURVEY.md §1 L6 [inferred]); its host/device split (host loop, device
+iterations) is the same shape CUDA ICP engines use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.core import se3
+from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.kernels.downsample import voxel_downsample
+from tpu_slam.mapping.voxel_map import (VoxelMap, empty_map, insert_cloud,
+                                        voxel_means,
+                                        voxel_normals_neighborhood)
+from tpu_slam.pipeline.config import OdometryConfig
+from tpu_slam.pipeline.metrics import MetricsLog, ScanMetrics, Stopwatch
+from tpu_slam.registration.icp import icp
+from tpu_slam.registration.ndt import ndt_field, ndt_register
+
+
+@dataclasses.dataclass
+class OdometryState:
+    """Mutable host-side handle onto device-resident odometry state."""
+
+    pose: jax.Array            # (4, 4) world<-body
+    last_delta: jax.Array      # (4, 4) previous relative motion
+    vmap: VoxelMap
+    scan_index: int = 0
+
+
+class LidarOdometry:
+    """Frame-to-map odometry engine."""
+
+    def __init__(self, config: OdometryConfig = OdometryConfig()):
+        self.config = config
+        self.map_spec = config.map_spec()
+        self.scan_spec = config.scan_spec()
+        self.metrics = MetricsLog()
+
+    def init_state(self, init_pose: Optional[jax.Array] = None
+                   ) -> OdometryState:
+        pose = (jnp.eye(4, dtype=jnp.float32) if init_pose is None
+                else jnp.asarray(init_pose, jnp.float32))
+        return OdometryState(pose=pose,
+                             last_delta=jnp.eye(4, dtype=jnp.float32),
+                             vmap=empty_map(self.config.map_capacity))
+
+    def downsample(self, cloud: PointCloud) -> PointCloud:
+        return voxel_downsample(cloud, self.scan_spec,
+                                capacity=self.config.scan_capacity)
+
+    def _clamped_delta(self, delta: jax.Array) -> jax.Array:
+        """Clamp the constant-velocity extrapolation.
+
+        A single misconverged registration inflates last_delta; unchecked,
+        the next prediction lands outside the registration basin and the
+        error compounds multiplicatively.
+        """
+        cfg = self.config
+        xi = se3.log(delta)
+        t_n = jnp.linalg.norm(xi[:3])
+        r_n = jnp.linalg.norm(xi[3:])
+        scale = jnp.minimum(
+            jnp.minimum(1.0, cfg.max_pred_translation / jnp.maximum(t_n, 1e-9)),
+            jnp.minimum(1.0, cfg.max_pred_rotation / jnp.maximum(r_n, 1e-9)))
+        return se3.exp(xi * scale)
+
+    def _register(self, scan: PointCloud, init_T: jax.Array,
+                  vmap: VoxelMap):
+        cfg = self.config
+        if cfg.method == "ndt":
+            field = ndt_field(vmap, self.map_spec, cfg.ndt)
+            res = ndt_register(scan, field, self.map_spec, init_T=init_T,
+                               params=cfg.ndt)
+            return res.T, res.iterations, res.score, res.matched_fraction
+        # ICP flavors use the map's voxel means as the target cloud
+        means = voxel_means(vmap, self.map_spec)
+        tgt = PointCloud(points=means, mask=vmap.occupied_mask())
+        normals = None
+        if cfg.method == "icp_plane":
+            # neighborhood normals: single-voxel covariance is too sparse
+            # right after insertion (a scan leaves few points per voxel)
+            normals, n_valid = voxel_normals_neighborhood(vmap, self.map_spec)
+            # only planar voxels make valid point-to-plane targets; voxels
+            # with degenerate covariance get garbage eigenvectors
+            tgt = PointCloud(points=means,
+                             mask=vmap.occupied_mask() & n_valid).sanitize()
+            params = dataclasses.replace(cfg.icp, point_to_plane=True)
+        else:
+            params = cfg.icp
+        res = icp(scan, tgt, init_T=init_T, params=params,
+                  target_normals=normals)
+        return res.T, res.iterations, res.error, res.matched_fraction
+
+    def step(self, state: OdometryState, cloud: PointCloud
+             ) -> Tuple[OdometryState, ScanMetrics]:
+        """Process one aggregated 3D scan (body-frame points)."""
+        cfg = self.config
+        with Stopwatch() as sw:
+            scan = self.downsample(cloud)
+
+            if state.scan_index == 0:
+                # bootstrap: place the first scan at the initial pose.
+                # The RAW cloud feeds the map — coarse-downsampled scans
+                # starve per-voxel statistics (NDT Gaussians and normals
+                # need >= min_count points per voxel).
+                world = cloud.transform(state.pose)
+                vmap = insert_cloud(state.vmap, world, self.map_spec,
+                                    stamp=0.0)
+                new_state = OdometryState(pose=state.pose,
+                                          last_delta=state.last_delta,
+                                          vmap=vmap, scan_index=1)
+                m = ScanMetrics(scan_index=0, iterations=0, residual=0.0,
+                                matched_fraction=1.0, wall_time_s=0.0)
+                jax.block_until_ready(vmap.keys)
+                m.wall_time_s = sw.elapsed if hasattr(sw, "elapsed") else 0.0
+                self.metrics.append(m)
+                return new_state, m
+
+            init_T = (state.pose @ self._clamped_delta(state.last_delta)
+                      if cfg.use_constant_velocity else state.pose)
+            T, iters, resid, frac = self._register(scan, init_T, state.vmap)
+
+            # Divergence guard: a collapsed match fraction means the solve
+            # left the map's support — coast on the prediction instead of
+            # poisoning pose and map with a runaway estimate.
+            rejected = float(frac) < cfg.min_accept_fraction
+            if rejected:
+                T = init_T
+
+            delta = se3.inverse(state.pose) @ T
+            vmap = state.vmap
+            if (state.scan_index % cfg.insert_every == 0 and not rejected
+                    and float(frac) >= cfg.min_insert_fraction):
+                world = cloud.transform(T)
+                vmap = insert_cloud(vmap, world, self.map_spec,
+                                    stamp=float(state.scan_index))
+            jax.block_until_ready(T)
+
+        xi = se3.log(delta)
+        m = ScanMetrics(
+            scan_index=state.scan_index,
+            iterations=int(iters),
+            residual=float(resid),
+            matched_fraction=float(frac),
+            wall_time_s=sw.elapsed,
+            translation_delta=float(jnp.linalg.norm(xi[:3])),
+            rotation_delta=float(jnp.linalg.norm(xi[3:])),
+        )
+        self.metrics.append(m)
+        new_state = OdometryState(pose=T, last_delta=delta, vmap=vmap,
+                                  scan_index=state.scan_index + 1)
+        return new_state, m
+
+    def run(self, clouds, init_pose: Optional[jax.Array] = None
+            ) -> Tuple[np.ndarray, MetricsLog]:
+        """Process an iterable of PointClouds; returns (poses (N,4,4), log)."""
+        state = self.init_state(init_pose)
+        poses = []
+        for cloud in clouds:
+            state, _ = self.step(state, cloud)
+            poses.append(np.asarray(state.pose))
+        return np.stack(poses), self.metrics

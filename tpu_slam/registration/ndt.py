@@ -39,6 +39,7 @@ from tpu_slam.kernels.voxel_hash import (
 )
 from tpu_slam.mapping.voxel_map import (
     VoxelMap,
+    neighborhood_moments,
     voxel_covariances,
     voxel_means,
 )
@@ -51,14 +52,15 @@ class NDTParams:
 
     max_iterations: int = 30
     tolerance: float = 1e-4
+    use_neighborhood: bool = True    # 3x3x3-aggregated Gaussians (see ndt_field)
     min_voxel_count: float = 5.0
     evec_floor_ratio: float = 0.01   # eigenvalue floor vs largest (Magnusson)
     max_corr_dist: float = 1.0       # Euclidean gate on |p - mu| (meters)
-    huber_mahalanobis: float = 3.0   # robust width on sqrt(d2) — soft gate;
-                                     # a hard chi^2 gate rejects the very
-                                     # matches that pull in a displaced init
-                                     # (thin planar Gaussians), so NDT uses
-                                     # IRLS downweighting instead
+    score_temperature: float = 4.0   # gamma in exp(-d2/(2 gamma)): widens
+                                     # the basin of thin planar Gaussians
+    coarse_temperature_scale: float = 16.0  # graduated non-convexity: stage-1
+                                     # gamma multiplier (wide smooth basin)
+    coarse_iterations: int = 10      # LM iterations in the coarse stage
     damping: float = 1e-6
 
 
@@ -89,16 +91,27 @@ class NDTResult:
 
 def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
               params: NDTParams = NDTParams()) -> NDTField:
-    """Build the solver-ready NDT field from a voxel map."""
-    means = voxel_means(vmap, spec)
-    cov = voxel_covariances(vmap, min_count=params.min_voxel_count,
-                            regularization=0.0)
+    """Build the solver-ready NDT field from a voxel map.
+
+    With ``use_neighborhood`` (default), each voxel's Gaussian aggregates
+    its 3x3x3 neighborhood moments — the overlapping-cells conditioning of
+    classic NDT. A freshly-inserted scan leaves only a few points per voxel;
+    single-voxel Gaussians would fall below min_voxel_count across half the
+    map and starve the solver of correspondences.
+    """
+    if params.use_neighborhood:
+        cnt, means, cov = neighborhood_moments(vmap, spec)
+        valid = vmap.occupied_mask() & (cnt >= params.min_voxel_count)
+    else:
+        means = voxel_means(vmap, spec)
+        cov = voxel_covariances(vmap, min_count=params.min_voxel_count,
+                                regularization=0.0)
+        valid = vmap.occupied_mask() & (vmap.count >= params.min_voxel_count)
     evals, evecs = jnp.linalg.eigh(cov)
     floor = params.evec_floor_ratio * jnp.maximum(evals[:, 2:3], 1e-9)
     evals_f = jnp.maximum(evals, floor)
     inv_evals = 1.0 / evals_f
     info = jnp.einsum("cij,cj,ckj->cik", evecs, inv_evals, evecs)
-    valid = vmap.occupied_mask() & (vmap.count >= params.min_voxel_count)
     return NDTField(keys=vmap.keys, means=means, info=info, valid=valid)
 
 
@@ -130,53 +143,121 @@ def _ndt_correspond(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
     return mu, lam, matched, best_d2
 
 
+def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
+               spec: VoxelGridSpec, params: "NDTParams",
+               gamma: Optional[jax.Array] = None):
+    """Smooth NDT objective + GN terms at pose T, summed over ALL valid
+    Gaussians in each point's 27-neighborhood.
+
+    Objective: cost(T) = -sum_n sum_k exp(-d2_nk / (2 gamma)) over gated
+    (point, neighbor-Gaussian) pairs — Magnusson's score summed over
+    neighboring cells. Summing (instead of best-cell selection) makes the
+    cost a smooth function of T; best-cell switching was observed to
+    produce spurious local minima ~20 cm off the optimum. ``gamma``
+    (score_temperature) widens the attraction basin of thin planar
+    Gaussians.
+
+    GN linearization: H = sum s_nk J_n^T Lam_k J_n, b = sum s_nk J_n^T
+    Lam_k r_nk, with s the tempered scores — the exact gradient direction
+    of the objective (up to the fixed-weight GN approximation).
+    """
+    pts = se3.apply(T, src.points)
+    n = pts.shape[0]
+    c = field.keys.shape[0]
+    qkeys = pack_key(cell_coords(pts, spec), spec)
+    nkeys = neighbor_offsets_keys(qkeys, spec)                # (N, 27)
+    pos = jnp.clip(jnp.searchsorted(field.keys, nkeys), 0, c - 1)
+    hit = (jnp.take(field.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
+    ok = hit & jnp.take(field.valid, pos)
+    mus = jnp.take(field.means, pos, axis=0)                  # (N, 27, 3)
+    lams = jnp.take(field.info, pos, axis=0)                  # (N, 27, 3, 3)
+
+    r = pts[:, None, :] - mus                                 # (N, 27, 3)
+    d2 = jnp.einsum("nki,nkij,nkj->nk", r, lams, r)
+    de2 = jnp.sum(r * r, axis=-1)
+    gate = ok & src.mask[:, None] & (de2 < params.max_corr_dist ** 2)
+    g = params.score_temperature if gamma is None else gamma
+    s = jnp.where(gate,
+                  jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)  # (N, 27)
+
+    L = jnp.einsum("nk,nkij->nij", s, lams)                   # (N, 3, 3)
+    y = jnp.einsum("nk,nkij,nkj->ni", s, lams, r)             # (N, 3)
+
+    phat = jax.vmap(se3.hat)(pts)                             # (N, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), (n, 3, 3))
+    J = jnp.concatenate([eye, -phat], axis=2)                 # (N, 3, 6)
+    H = jnp.einsum("nia,nij,njb->ab", J, L, J)                # (6, 6)
+    b = jnp.einsum("nia,ni->a", J, y)                         # (6,)
+
+    cost = -jnp.sum(s)
+    frac = jnp.sum(jnp.any(gate, axis=1).astype(pts.dtype)) / jnp.maximum(
+        jnp.sum(src.mask.astype(pts.dtype)), 1.0)
+    return H, b, cost, frac
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "params"))
 def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
                  init_T: Optional[jax.Array] = None,
                  params: NDTParams = NDTParams()) -> NDTResult:
-    """Register a source cloud against an NDT field (scan-to-map)."""
+    """Register a source cloud against an NDT field (scan-to-map).
+
+    Levenberg-Marquardt with accept/reject on the true NDT objective:
+    undamped Gauss-Newton on this cost oscillates between nearby minima
+    (observed as max-iteration stalls), and a single oscillating estimate
+    poisons downstream odometry through the constant-velocity prediction.
+    Each iteration costs two correspondence passes (trial + current), both
+    fully batched.
+    """
     if init_T is None:
         init_T = jnp.eye(4, dtype=source.points.dtype)
     src = source.sanitize()
-    n_valid = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
 
-    def cond(state):
-        _, it, dx, _, _ = state
-        return jnp.logical_and(it < params.max_iterations,
-                               dx > params.tolerance)
+    def lm_solve(T0, gamma, max_iters, tol):
+        H0, b0, cost0, frac0 = _ndt_terms(src, T0, field, spec, params, gamma)
 
-    def body(state):
-        T, it, _, _, _ = state
-        pts = se3.apply(T, src.points)
-        mu, lam, matched, d2 = _ndt_correspond(pts, field, spec)
-        r = pts - mu                                          # (N, 3)
-        de2 = jnp.sum(r * r, axis=-1)
-        gate = matched & src.mask & (de2 < params.max_corr_dist ** 2)
-        d2s = jnp.where(gate, d2, 0.0)
-        w = gate.astype(pts.dtype) * huber_weight(
-            jnp.sqrt(jnp.maximum(d2s, 1e-12)), params.huber_mahalanobis)
+        def cond(state):
+            T, lam_lm, cost, H, b, frac, it, dx = state
+            return (it < max_iters) & (dx > tol) & (lam_lm < 1e6)
 
-        phat = jax.vmap(se3.hat)(pts)                         # (N, 3, 3)
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype),
-                               (pts.shape[0], 3, 3))
-        J = jnp.concatenate([eye, -phat], axis=2)             # (N, 3, 6)
-        lam_w = lam * w[:, None, None]
-        JtL = jnp.einsum("nij,nik->njk", J, lam_w)            # (N, 6, 3)
-        H = jnp.einsum("nij,nik->jk", JtL.transpose(0, 2, 1), J)  # (6, 6)
-        b = jnp.einsum("nij,nj->i", JtL, r)                   # (6,)
+        def body(state):
+            T, lam_lm, cost, H, b, frac, it, dx = state
+            damp = lam_lm * jnp.maximum(jnp.trace(H) / 6.0, 1e-6)
+            Hd = H + damp * jnp.eye(6, dtype=H.dtype)
+            xi = -jnp.linalg.solve(Hd, b)
+            xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+            T_try = se3.retract(T, xi)
+            H_t, b_t, cost_t, frac_t = _ndt_terms(src, T_try, field, spec,
+                                                  params, gamma)
+            accept = cost_t < cost
+            T_n = jnp.where(accept, T_try, T)
+            lam_n = jnp.where(accept, jnp.maximum(lam_lm / 3.0, 1e-7),
+                              lam_lm * 5.0)
+            cost_n = jnp.where(accept, cost_t, cost)
+            H_n = jnp.where(accept, H_t, H)
+            b_n = jnp.where(accept, b_t, b)
+            frac_n = jnp.where(accept, frac_t, frac)
+            dx_n = jnp.where(accept, jnp.linalg.norm(xi), dx)
+            return (T_n, lam_n, cost_n, H_n, b_n, frac_n, it + 1, dx_n)
 
-        H = H + params.damping * jnp.trace(H) / 6.0 * jnp.eye(6, dtype=H.dtype)
-        xi = -jnp.linalg.solve(H, b)
-        xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
-        T_new = se3.retract(T, xi)
+        init = (T0, jnp.float32(1e-4), cost0, H0, b0, frac0, jnp.int32(0),
+                jnp.float32(jnp.inf))
+        return jax.lax.while_loop(cond, body, init)
 
-        score = jnp.sum(w * jnp.exp(-0.5 * jnp.where(gate, d2, 0.0)))
-        frac = jnp.sum(w) / n_valid
-        score = score / jnp.maximum(jnp.sum(w), 1.0)
-        return (T_new, it + 1, jnp.linalg.norm(xi), score, frac)
+    # Graduated non-convexity: a coarse high-temperature stage first —
+    # the widened basin pulls in inits beyond the fine objective's comb of
+    # local minima (discrete scan patterns alias in yaw) — then the fine
+    # stage polishes at the nominal temperature.
+    gamma_f = jnp.float32(params.score_temperature)
+    if params.coarse_iterations > 0 and params.coarse_temperature_scale > 1.0:
+        gamma_c = gamma_f * params.coarse_temperature_scale
+        T_c, _, _, _, _, _, it_c, _ = lm_solve(
+            init_T, gamma_c, params.coarse_iterations,
+            10.0 * params.tolerance)
+    else:
+        T_c, it_c = init_T, jnp.int32(0)
 
-    init = (init_T, jnp.int32(0), jnp.float32(jnp.inf), jnp.float32(0.0),
-            jnp.float32(0.0))
-    T, iters, dx, score, frac = jax.lax.while_loop(cond, body, init)
-    return NDTResult(T=T, iterations=iters, score=score,
+    T, lam_lm, cost, H, b, frac, iters, dx = lm_solve(
+        T_c, gamma_f, params.max_iterations, params.tolerance)
+    n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
+    return NDTResult(T=T, iterations=iters + it_c, score=-cost / n_src,
                      matched_fraction=frac, converged=dx <= params.tolerance)
