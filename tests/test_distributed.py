@@ -1,0 +1,151 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_slam.core import se3
+from tpu_slam.core.pointcloud import PAD_COORD, PointCloud
+from tpu_slam.distributed.map_shard import (empty_sharded_map,
+                                            insert_cloud_sharded,
+                                            ndt_register_sharded, slab_owner)
+from tpu_slam.distributed.mesh import make_mesh
+from tpu_slam.distributed.pose_graph_dist import optimize_pose_graph_sharded
+from tpu_slam.distributed.registration_dist import sharded_pairwise_icp
+from tpu_slam.graph.pose_graph import GraphSolveParams, optimize_pose_graph
+from tpu_slam.ingest import synthetic as syn
+from tpu_slam.kernels.voxel_hash import INVALID_KEY, VoxelGridSpec
+from tpu_slam.mapping.voxel_map import empty_map, insert_cloud
+from tpu_slam.registration.icp import ICPParams
+from tpu_slam.registration.ndt import NDTParams, ndt_field, ndt_register
+
+from tests.test_graph import _make_noisy_circle_graph
+
+
+def _mesh(n=8):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+    return make_mesh(n)
+
+
+def _scene(rng, n=400):
+    n3 = n // 3
+    parts = [
+        np.stack([rng.uniform(-4, 4, n3), rng.uniform(-4, 4, n3),
+                  np.zeros(n3)], 1),
+        np.stack([rng.uniform(-4, 4, n3), np.full(n3, 4.0),
+                  rng.uniform(0, 2, n3)], 1),
+        np.stack([np.full(n - 2 * n3, -4.0), rng.uniform(-4, 4, n - 2 * n3),
+                  rng.uniform(0, 2, n - 2 * n3)], 1),
+    ]
+    return np.concatenate(parts).astype(np.float32)
+
+
+def test_sharded_pairwise_icp_matches_single():
+    mesh = _mesh()
+    rng = np.random.default_rng(0)
+    B, Pn = 10, 512  # deliberately not divisible by 8 (pad path)
+    xi_true = []
+    sp = np.full((B, Pn, 3), PAD_COORD, np.float32)
+    sm = np.zeros((B, Pn), bool)
+    tp = np.full((B, Pn, 3), PAD_COORD, np.float32)
+    tm = np.zeros((B, Pn), bool)
+    for k in range(B):
+        tgt = _scene(rng)
+        xi = rng.normal(0, 0.08, 6).astype(np.float32)
+        xi_true.append(xi)
+        T = np.asarray(se3.exp(jnp.asarray(xi)))
+        src = (tgt - T[:3, 3]) @ T[:3, :3]
+        tp[k, :400], tm[k, :400] = tgt, True
+        sp[k, :400], sm[k, :400] = src, True
+
+    params = ICPParams(max_iterations=30, max_corr_dist=2.0, nn_impl="xla")
+    res = sharded_pairwise_icp(mesh, jnp.asarray(sp), jnp.asarray(sm),
+                               jnp.asarray(tp), jnp.asarray(tm),
+                               jnp.broadcast_to(jnp.eye(4), (B, 4, 4)),
+                               params=params)
+    assert res.T.shape == (B, 4, 4)
+    for k in range(B):
+        T_true = se3.exp(jnp.asarray(xi_true[k]))
+        err = se3.log(se3.inverse(T_true) @ res.T[k])
+        assert float(jnp.linalg.norm(err)) < 0.03, k
+
+
+def test_sharded_pose_graph_matches_dense():
+    mesh = _mesh()
+    rng = np.random.default_rng(1)
+    g, gt = _make_noisy_circle_graph(rng, node_cap=32, edge_cap=64)
+    gd, chi_d = optimize_pose_graph(
+        g, GraphSolveParams(gn_iterations=6, solver="dense"))
+    gs, chi_s = optimize_pose_graph_sharded(
+        mesh, g, GraphSolveParams(gn_iterations=6, cg_iterations=200,
+                                  cg_tolerance=1e-12))
+    np.testing.assert_allclose(np.asarray(gs.poses[:24]),
+                               np.asarray(gd.poses[:24]), atol=2e-3)
+    assert abs(float(chi_s) - float(chi_d)) < 1e-2 * max(float(chi_d), 1.0)
+
+
+def test_slab_owner_partitioning():
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-15, 15, (1000, 3)).astype(np.float32)
+    from tpu_slam.kernels.voxel_hash import voxel_keys
+    cloud = PointCloud.from_points(jnp.asarray(pts))
+    keys = voxel_keys(cloud, spec)
+    owner = slab_owner(keys, spec, 8)
+    o = np.asarray(owner)
+    assert o.min() >= 0 and o.max() <= 7
+    # owners are monotone in x
+    x = pts[:, 0]
+    for d in range(7):
+        if (o == d).any() and (o == d + 1).any():
+            assert x[o == d].max() <= x[o == d + 1].min() + 0.51
+
+
+def test_sharded_map_matches_single_map_stats():
+    mesh = _mesh()
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+    world = syn.default_office()
+    T = np.eye(4); T[:3, 3] = [0, 0, 1.5]
+    pts, valid = syn.simulate_vlp16_revolution(world, T, n_azimuth=240)
+    cloud = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=4096)
+
+    single = insert_cloud(empty_map(8192), cloud, spec, 0.0)
+    smap = empty_sharded_map(8, 2048)
+    smap = insert_cloud_sharded(mesh, smap, cloud, spec, 0.0)
+
+    # total voxels and total point mass must match
+    n_sharded = sum(int(jnp.sum(smap.keys[d] != INVALID_KEY))
+                    for d in range(8))
+    assert n_sharded == int(single.n_occupied())
+    assert abs(float(jnp.sum(smap.count)) - float(jnp.sum(single.count))) < 1e-3
+    # every sharded key is on its owner
+    for d in range(8):
+        k = np.asarray(smap.keys[d])
+        k = k[k != int(INVALID_KEY)]
+        np.testing.assert_array_equal(
+            np.asarray(slab_owner(jnp.asarray(k), spec, 8)), d)
+
+
+def test_sharded_ndt_register_recovers_transform():
+    mesh = _mesh()
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+    world = syn.default_office()
+    T = np.eye(4); T[:3, 3] = [0, 0, 1.5]
+    pts, valid = syn.simulate_vlp16_revolution(world, T, n_azimuth=360)
+    cloud = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=8192)
+
+    smap = empty_sharded_map(8, 2048)
+    smap = insert_cloud_sharded(mesh, smap, cloud, spec, 0.0)
+
+    xi_true = jnp.array([0.2, -0.1, 0.08, 0.02, -0.03, 0.05], jnp.float32)
+    T_true = se3.exp(xi_true)
+    src = cloud.transform(se3.inverse(T_true))
+    params = NDTParams(max_iterations=30)
+    res = ndt_register_sharded(mesh, src, smap, spec, params=params)
+    err = se3.log(se3.compose(se3.inverse(T_true), res.T))
+    assert float(jnp.linalg.norm(err[:3])) < 0.06, np.asarray(res.T)
+    assert float(jnp.linalg.norm(err[3:])) < 0.03
