@@ -1,0 +1,138 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_slam.core import se3
+from tpu_slam.ingest import synthetic as syn
+from tpu_slam.ingest.calibration import (CalibConfig, CalibrationData,
+                                         calibrate_gradient, calibrate_sa,
+                                         calibrate_twiddle, extrinsic_matrix,
+                                         overlap_cost)
+from tpu_slam.ingest.frames import rotation_link_transform
+
+
+CFG = CalibConfig(half_extent=8.0, capacity=65536)
+
+TRUE_PARAMS = np.array([0.02, -0.015, 0.012, -0.018, 0.025], np.float32)
+
+_CAPTURE_CACHE = {}
+
+
+def _capture_with_miscalibration(params5, n_segments=360, n_beams=181,
+                                 noise=0.0, seed=0):
+    """Simulate a full-rotation capture where the TRUE sensor mount includes
+    the extrinsic ``params5`` — which the solvers must then recover.
+
+    Density matters: the reference's 0.05 m match radius assumes real
+    capture density (350 Hz scan lines, 0.5 deg beams); line and beam
+    spacing at range must stay below the radius or the cost is dominated
+    by the sampling comb instead of the calibration.
+    """
+    key = (tuple(np.asarray(params5).tolist()), n_segments, n_beams, noise,
+           seed)
+    if key in _CAPTURE_CACHE:
+        return _CAPTURE_CACHE[key]
+    import jax
+    # interior boxes break the symmetry that otherwise leaves a
+    # degenerate tz/rx/ry valley in the overlap cost
+    world = syn.make_room(size=(5.0, 4.0, 2.5), boxes=[
+        (np.array([0.8, 0.6, 0.0]), np.array([1.6, 1.3, 1.1])),
+        (np.array([-1.8, -1.4, 0.0]), np.array([-1.0, -0.7, 1.7])),
+    ])
+    rng = np.random.default_rng(seed)
+    M_true = np.asarray(extrinsic_matrix(jnp.asarray(params5, jnp.float32)))
+    T_base = syn.se2_pose(0.0, 0.0, 0.0, z=1.0)
+
+    S, L = n_segments, n_beams
+    pts = np.zeros((S, L, 3), np.float32)
+    val = np.zeros((S, L), bool)
+    angs = jnp.asarray(np.linspace(0, 2 * math.pi, S, endpoint=False),
+                       jnp.float32)
+    Ts = np.asarray(jax.vmap(rotation_link_transform)(angs))
+    for s in range(S):
+        T_ws = T_base @ Ts[s] @ M_true
+        pts[s], val[s] = syn.simulate_line_scan(
+            world, T_ws, n_beams=L, fov_deg=180, noise_std=noise, rng=rng)
+    data = CalibrationData(points=jnp.asarray(pts), valid=jnp.asarray(val),
+                           transforms=jnp.asarray(Ts.astype(np.float32)))
+    _CAPTURE_CACHE[key] = data
+    return data
+
+
+def test_cost_minimal_at_truth():
+    data = _capture_with_miscalibration(TRUE_PARAMS)
+    c_true = int(overlap_cost(data, jnp.asarray(TRUE_PARAMS), CFG))
+    c_zero = int(overlap_cost(data, jnp.zeros(5), CFG))
+    c_off = int(overlap_cost(
+        data, jnp.asarray(TRUE_PARAMS + np.float32([0.05, 0, 0.05, 0, 0])),
+        CFG))
+    assert c_true < c_zero, (c_true, c_zero)
+    assert c_true < c_off, (c_true, c_off)
+
+
+def _gauge_error(params_found, params_true):
+    """Extrinsic error modulo the spin-axis gauge.
+
+    A pre-rotation of the extrinsic about the laser x-axis is equivalent to
+    shifting the encoder zero (T_rot(ang) Rx(phi) == T_rot(ang + phi') up
+    to the fixed lever arm) — the overlap cost is invariant along that
+    orbit, which is exactly why the reference fixes the homing offset by a
+    separate EEPROM procedure (m3d/m3dunit_base/src/setoffset.cpp).
+    Compare candidate extrinsics by minimizing over the gauge angle.
+    """
+    M_f = jnp.asarray(extrinsic_matrix(jnp.asarray(params_found,
+                                                   jnp.float32)))
+    M_t = jnp.asarray(extrinsic_matrix(jnp.asarray(params_true,
+                                                   jnp.float32)))
+    best = np.inf
+    for phi in np.linspace(-0.1, 0.1, 401):
+        c, s = math.cos(phi), math.sin(phi)
+        Rx = jnp.asarray(np.array(
+            [[1, 0, 0, 0], [0, c, -s, 0], [0, s, c, 0], [0, 0, 0, 1]],
+            np.float32))
+        e = se3.log(se3.inverse(Rx @ M_t) @ M_f)
+        best = min(best, float(jnp.linalg.norm(e)))
+    return best
+
+
+def test_twiddle_recovers_extrinsic():
+    data = _capture_with_miscalibration(TRUE_PARAMS)
+    res = calibrate_twiddle(data, CFG, initial_step=0.01,
+                            max_evaluations=300)
+    # the count cost's discretization floor limits accuracy to a few cm
+    # at this capture density (the found optimum scores BELOW the true
+    # params); the reference relied on operator visual verification at
+    # the same stage (m3d_calibration_twiddle.cpp:384-424)
+    assert _gauge_error(res.params5, TRUE_PARAMS) < 0.04, res.params5
+    # monotone non-increasing best cost
+    assert all(b <= a for a, b in zip(res.history, res.history[1:]))
+
+
+def test_sa_improves_cost():
+    data = _capture_with_miscalibration(TRUE_PARAMS)
+    c0 = int(overlap_cost(data, jnp.zeros(5), CFG))
+    res = calibrate_sa(data, CFG, t_start=0.5, t_end=0.01, alpha=0.95,
+                       step=0.005, seed=1)
+    assert res.cost <= c0
+    assert all(b <= a for a, b in zip(res.history, res.history[1:]))
+
+
+def test_gradient_solver_recovers_extrinsic():
+    data = _capture_with_miscalibration(TRUE_PARAMS)
+    res = calibrate_gradient(data, CFG, steps=150, learning_rate=3e-3)
+    assert _gauge_error(res.params5, TRUE_PARAMS) < 0.025, res.params5
+
+
+def test_result_exports_reference_format(tmp_path):
+    data = _capture_with_miscalibration(TRUE_PARAMS, n_segments=60,
+                                        n_beams=61)
+    res = calibrate_twiddle(data, CFG, max_evaluations=30)
+    calib = res.to_calibration()
+    path = str(tmp_path / "m3d_calibration.yaml")
+    calib.save(path)
+    import json
+    with open(path) as f:
+        m = json.load(f)
+    assert len(m[0]) == 3 and len(m[1]) == 4   # [[t],[q]] reference format

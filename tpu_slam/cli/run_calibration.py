@@ -1,0 +1,98 @@
+"""Solve the 5-DoF laser-to-axis extrinsic from a captured rotation.
+
+Input: a .npz with ``points`` (S, L, 3), ``valid`` (S, L) and
+``transforms`` (S, 4, 4) — the per-segment laser clouds and unit rotation
+transforms (ingest.calibration.CalibrationData) — or ``--demo`` to solve a
+synthetic capture. Output: the calibration JSON in the reference's
+``[[t],[q]]`` format (transformBroadcaster.py:25-60), drop-in compatible
+with an existing m3d_calibration.yaml.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+from tpu_slam.cli.common import add_common_args, emit
+from tpu_slam.ingest.calibration import (CalibConfig, CalibrationData,
+                                         calibrate_gradient, calibrate_sa,
+                                         calibrate_twiddle)
+
+
+def _demo_data():
+    import jax
+    import jax.numpy as jnp
+    from tpu_slam.ingest import synthetic as syn
+    from tpu_slam.ingest.calibration import extrinsic_matrix
+    from tpu_slam.ingest.frames import rotation_link_transform
+
+    true = np.array([0.015, -0.01, 0.01, -0.012, 0.018], np.float32)
+    world = syn.make_room(size=(5.0, 4.0, 2.5), boxes=[
+        (np.array([0.8, 0.6, 0.0]), np.array([1.6, 1.3, 1.1])),
+        (np.array([-1.8, -1.4, 0.0]), np.array([-1.0, -0.7, 1.7]))])
+    M = np.asarray(extrinsic_matrix(jnp.asarray(true)))
+    T_base = syn.se2_pose(0, 0, 0, z=1.0)
+    S, L = 360, 181
+    pts = np.zeros((S, L, 3), np.float32)
+    val = np.zeros((S, L), bool)
+    angs = jnp.asarray(np.linspace(0, 2 * math.pi, S, endpoint=False),
+                       jnp.float32)
+    Ts = np.asarray(jax.vmap(rotation_link_transform)(angs))
+    for s in range(S):
+        pts[s], val[s] = syn.simulate_line_scan(
+            world, T_base @ Ts[s] @ M, n_beams=L, fov_deg=180)
+    return CalibrationData(points=jnp.asarray(pts), valid=jnp.asarray(val),
+                           transforms=jnp.asarray(Ts.astype(np.float32))), true
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", default=None, help="segments .npz")
+    p.add_argument("--demo", action="store_true",
+                   help="solve a synthetic capture instead of --input")
+    p.add_argument("--method", choices=["twiddle", "sa", "gradient"],
+                   default="gradient")
+    p.add_argument("--out", default=None,
+                   help="calibration yaml path (reference format)")
+    p.add_argument("--up-axis", type=int, default=1)
+    p.add_argument("--max-evaluations", type=int, default=300)
+    add_common_args(p)
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    if args.demo:
+        data, true = _demo_data()
+    elif args.input:
+        with np.load(args.input) as z:
+            data = CalibrationData(points=jnp.asarray(z["points"]),
+                                   valid=jnp.asarray(z["valid"]),
+                                   transforms=jnp.asarray(z["transforms"]))
+        true = None
+    else:
+        raise SystemExit("need --input or --demo")
+
+    cfg = CalibConfig(up_axis=args.up_axis, half_extent=8.0, capacity=65536)
+    if args.method == "twiddle":
+        res = calibrate_twiddle(data, cfg,
+                                max_evaluations=args.max_evaluations)
+    elif args.method == "sa":
+        res = calibrate_sa(data, cfg)
+    else:
+        res = calibrate_gradient(data, cfg, steps=args.max_evaluations)
+
+    summary = {"method": args.method, "cost": res.cost,
+               "evaluations": res.evaluations,
+               "params5": [float(v) for v in res.params5]}
+    if true is not None:
+        summary["true_params5"] = [float(v) for v in true]
+    if args.out:
+        path = res.to_calibration().save(args.out)
+        summary["calibration_file"] = path
+    emit(summary, args.json)
+
+
+if __name__ == "__main__":
+    main()
