@@ -1,0 +1,245 @@
+"""Native runtime tests: parser parity + device clients against simulated
+TCP devices + feeder semantics.
+
+Skipped wholesale when native/build/libtpu_slam_native.so is absent
+(build with ``make native``).
+"""
+
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpu_slam.ingest import native as nat
+from tpu_slam.ingest import sick_cola as sc
+
+pytestmark = pytest.mark.skipif(nat.load() is None,
+                                reason="native library not built")
+
+
+# ---------------------------------------------------------------------------
+# Parser parity
+# ---------------------------------------------------------------------------
+
+def test_parse_parity_with_python():
+    rng = np.random.default_rng(0)
+    ranges_mm = rng.integers(20, 60000, 541).astype(np.uint32)
+    rssi = rng.integers(0, 255, 541).astype(np.uint32)
+    raw = sc.format_telegram(ranges_mm, rssi=rssi, scale_factor=2.0,
+                             start_angle_deg=-135.0, ang_step_deg=0.5,
+                             scan_no=42)
+    payload = sc.extract_frames(raw)[0][0]
+
+    tg = sc.parse_telegram(payload)
+    py_scan = sc.telegram_to_laser_scan(tg)
+
+    meta, n_ranges, n_intens = nat.parse_telegram_native(payload)
+    assert meta.scan_no == 42
+    assert meta.n_dist == 541 and meta.n_rssi == 541
+    assert meta.scale_factor == pytest.approx(2.0)
+    assert meta.ang_step_deg == pytest.approx(0.5, rel=1e-3)
+    np.testing.assert_allclose(n_ranges, py_scan.ranges, rtol=1e-6)
+    np.testing.assert_allclose(n_intens,
+                               tg.rssi_channels[0].data.astype(np.float32))
+
+
+def test_parse_rejects_garbage():
+    lib = nat.load()
+    with pytest.raises(ValueError):
+        nat.parse_telegram_native(b"sSN NotAScan 1 2 3")
+    with pytest.raises(ValueError):
+        nat.parse_telegram_native(b"short")
+
+
+# ---------------------------------------------------------------------------
+# Simulated devices
+# ---------------------------------------------------------------------------
+
+class FakeSick(threading.Thread):
+    """Minimal CoLa-A device: on 'sEN LMDscandata 1' streams N telegrams."""
+
+    def __init__(self, n_telegrams=5):
+        super().__init__(daemon=True)
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.n = n_telegrams
+
+    def run(self):
+        conn, _ = self.srv.accept()
+        req = conn.recv(256)
+        assert b"sEN LMDscandata 1" in req
+        rng = np.random.default_rng(1)
+        for k in range(self.n):
+            ranges = rng.integers(100, 20000, 181).astype(np.uint32)
+            # stream in two chunks to exercise reassembly
+            raw = sc.format_telegram(ranges, scan_no=k)
+            conn.sendall(raw[:50])
+            time.sleep(0.002)
+            conn.sendall(raw[50:])
+        time.sleep(0.1)
+        conn.close()
+        self.srv.close()
+
+
+def test_native_lms_client_streams():
+    dev = FakeSick(n_telegrams=4)
+    dev.start()
+    cli = nat.NativeLms(cap=1024)
+    try:
+        cli.connect("127.0.0.1", dev.port)
+        cli.start_scan()
+        scans = []
+        for _ in range(4):
+            out = cli.poll(timeout_ms=2000)
+            assert out is not None
+            scans.append(out)
+        assert [s[0].scan_no for s in scans] == [0, 1, 2, 3]
+        assert all(len(s[1]) == 181 for s in scans)
+        # after the device closes the connection: a clean error (or a
+        # timeout if the close hasn't landed), never a crash
+        try:
+            out = cli.poll(timeout_ms=200)
+            assert out is None
+        except ConnectionError:
+            pass
+    finally:
+        cli.close()
+        dev.join(timeout=2)
+
+
+class FakeM3d(threading.Thread):
+    """Simulated motor controller speaking the sp/gp parameter protocol."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.params = {(0x3962, 0x0): 2500,   # encoder res (hw units)
+                       (0x396A, 0x0): 7500}   # current ticks
+        self.writes = []
+        self.stop = False
+
+    def run(self):
+        conn, _ = self.srv.accept()
+        buf = b""
+        while not self.stop:
+            try:
+                data = conn.recv(256)
+            except OSError:
+                break
+            if not data:
+                break
+            buf += data
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                self._handle(conn, line.decode())
+        conn.close()
+        self.srv.close()
+
+    def _handle(self, conn, line):
+        parts = line.split()
+        if not parts:
+            return
+        def parse_addr(tok):
+            idx, sub = tok.split(".")
+            return int(idx.rstrip("h"), 16), int(sub.rstrip("h"), 16)
+        if parts[0] == "sp":
+            addr = parse_addr(parts[1])
+            val = int(parts[2])
+            self.params[addr] = val
+            self.writes.append((addr[0], addr[1], val))
+            conn.sendall(f"sp {parts[1]} {val}\n".encode())
+        elif parts[0] == "gp":
+            addr = parse_addr(parts[1])
+            val = self.params.get(addr, 0)
+            # 4 space-separated fields, value at index 2 (driverLib.cpp:145)
+            conn.sendall(f"gp {parts[1]} {val} ok".encode())
+
+
+def test_native_m3d_client_protocol():
+    dev = FakeM3d()
+    dev.start()
+    cli = nat.NativeM3d()
+    try:
+        cli.connect_tcp("127.0.0.1", dev.port)
+        # encoder res = 4 * hw value (driverLib.cpp:230-241)
+        assert cli.encoder_res() == 10000
+        # angle = -2*pi*(7500 mod 10000)/10000
+        assert cli.angle() == pytest.approx(-2 * np.pi * 0.75)
+
+        cli.set_speed(12)
+        # reference sequence: mode 3, speed, stop, start 49
+        assert dev.writes[:4] == [(0x3003, 0x0, 3), (0x3000, 0x10, 12),
+                                  (0x3000, 0x1, 0), (0x3000, 0x1, 49)]
+        dev.writes.clear()
+        cli.set_position(np.pi, 10, relative=False)
+        assert dev.writes[0] == (0x3003, 0x0, 7)
+        assert dev.writes[1] == (0x3000, 0x10, 10)
+        assert dev.writes[2] == (0x3000, 0x11, 5000)  # pi/2pi * 10000
+        assert dev.writes[3] == (0x3000, 0x1, 0)
+        assert dev.writes[4] == (0x3000, 0x1, 52)     # absolute start
+
+        dev.writes.clear()
+        cli.set_homing_offset(1234)
+        assert dev.writes == [(0x37B3, 0x00, 1234),
+                              (0x1010, 0x01, 0x65766173)]
+    finally:
+        dev.stop = True
+        cli.close()
+
+
+# ---------------------------------------------------------------------------
+# Feeder
+# ---------------------------------------------------------------------------
+
+def test_feeder_roundtrip_and_overflow():
+    f = nat.NativeFeeder(n_slots=4, line_cap=64)
+    try:
+        for k in range(4):
+            ok = f.push(np.full(32, float(k), np.float32), None,
+                        stamp=float(k), angle=0.1 * k)
+            assert ok
+        # ring full: push drops and counts
+        assert not f.push(np.zeros(32, np.float32), None, 9.0, 9.0)
+        assert f.dropped == 1
+        assert f.depth == 4
+
+        for k in range(4):
+            out = f.pop(timeout_ms=100)
+            ranges, intens, stamp, angle = out
+            assert len(ranges) == 32
+            assert ranges[0] == float(k)
+            assert stamp == float(k)
+            assert angle == pytest.approx(0.1 * k)
+        assert f.pop(timeout_ms=50) is None  # empty -> timeout
+    finally:
+        f.close()
+
+
+def test_feeder_cross_thread():
+    f = nat.NativeFeeder(n_slots=64, line_cap=128)
+    n_lines = 200
+    received = []
+
+    def producer():
+        for k in range(n_lines):
+            while not f.push(np.full(100, float(k), np.float32), None,
+                             float(k), 0.0):
+                time.sleep(0.001)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    while len(received) < n_lines:
+        out = f.pop(timeout_ms=2000)
+        assert out is not None
+        received.append(out[2])
+    t.join()
+    assert received == [float(k) for k in range(n_lines)]  # FIFO order
+    f.close()
