@@ -61,6 +61,8 @@ class NDTParams:
     coarse_temperature_scale: float = 16.0  # graduated non-convexity: stage-1
                                      # gamma multiplier (wide smooth basin)
     coarse_iterations: int = 10      # LM iterations in the coarse stage
+    dense_lookup_max_bits: int = 24  # materialize the cell->slot table when
+                                     # 3*dim_bits <= this (2^24 = 64 MB max)
     damping: float = 1e-6
 
 
@@ -77,6 +79,17 @@ class NDTField:
     means: jax.Array     # (C, 3) world frame
     info: jax.Array      # (C, 3, 3) Lambda = Sigma^-1 (eigen-floored)
     valid: jax.Array     # (C,) bool
+    # Dense cell->slot table: the packed key IS an index into the cell grid
+    # (2^(3*dim_bits) entries), so probes become one gather instead of a
+    # binary search — measured 12.6 ms -> <1 ms per correspondence pass on
+    # v5e at 4k points x 27 cells. None for grids too large to materialize
+    # (ndt_field builds it when 3*dim_bits <= dense_lookup_max_bits).
+    lookup: Optional[jax.Array] = None   # (2^(3b),) int32 slot, -1 = empty
+    # Packed per-voxel row [mean(3), Lam upper-tri(6), valid(1), pad(6)]:
+    # gathering ONE (C, 16) row costs ~0.36 ms where the separate
+    # (C,3)+(C,3,3)+(C,) gathers cost ~3.5 ms (XLA lowers trailing (3,3)
+    # gathers poorly); the Mahalanobis math then runs lane-wise on (N, 27).
+    packed: Optional[jax.Array] = None   # (C, 16) float32
 
 
 @jax.tree_util.register_dataclass
@@ -112,7 +125,38 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
     evals_f = jnp.maximum(evals, floor)
     inv_evals = 1.0 / evals_f
     info = jnp.einsum("cij,cj,ckj->cik", evecs, inv_evals, evecs)
-    return NDTField(keys=vmap.keys, means=means, info=info, valid=valid)
+    lookup = None
+    if 3 * spec.dim_bits <= params.dense_lookup_max_bits:
+        size = 1 << (3 * spec.dim_bits)
+        table = jnp.full((size,), jnp.int32(-1))
+        occ = vmap.occupied_mask()
+        slots = jnp.arange(vmap.capacity, dtype=jnp.int32)
+        # unoccupied entries scatter out-of-bounds and are dropped
+        idx = jnp.where(occ, vmap.keys, size)
+        lookup = table.at[idx].set(slots, mode="drop")
+    iu0, iu1 = jnp.triu_indices(3)
+    packed = jnp.concatenate([
+        means,
+        info[:, iu0, iu1],
+        valid[:, None].astype(jnp.float32),
+        jnp.zeros((means.shape[0], 6), jnp.float32),
+    ], axis=1)
+    return NDTField(keys=vmap.keys, means=means, info=info, valid=valid,
+                    lookup=lookup, packed=packed)
+
+
+def _probe_slots(field: NDTField, nkeys: jax.Array):
+    """(..., 27) neighbor keys -> (slots, hit): dense-table gather when
+    available, binary search otherwise."""
+    if field.lookup is not None:
+        safe = jnp.clip(nkeys, 0, field.lookup.shape[0] - 1)
+        slots = jnp.take(field.lookup, safe)
+        hit = (slots >= 0) & (nkeys != INVALID_KEY) & (nkeys >= 0)
+        return jnp.maximum(slots, 0), hit
+    c = field.keys.shape[0]
+    pos = jnp.clip(jnp.searchsorted(field.keys, nkeys), 0, c - 1)
+    hit = (jnp.take(field.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
+    return pos, hit
 
 
 def _ndt_correspond(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
@@ -121,15 +165,12 @@ def _ndt_correspond(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
     Returns (mu (N,3), Lambda (N,3,3), matched (N,) bool, d2 (N,)).
     """
     n = pts.shape[0]
-    c = field.keys.shape[0]
     qkeys = pack_key(cell_coords(pts, spec), spec)
     nkeys = neighbor_offsets_keys(qkeys, spec)                # (N, 27)
-    pos = jnp.clip(jnp.searchsorted(field.keys, nkeys), 0, c - 1)
-    hit = (jnp.take(field.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
+    pos, hit = _probe_slots(field, nkeys)
     ok = hit & jnp.take(field.valid, pos)
-    slots_c = pos
-    mus = jnp.take(field.means, slots_c, axis=0)              # (N, 27, 3)
-    lams = jnp.take(field.info, slots_c, axis=0)              # (N, 27, 3, 3)
+    mus = jnp.take(field.means, pos, axis=0)                  # (N, 27, 3)
+    lams = jnp.take(field.info, pos, axis=0)                  # (N, 27, 3, 3)
     d = pts[:, None, :] - mus
     d2 = jnp.einsum("nki,nkij,nkj->nk", d, lams, d)
     d2 = jnp.where(ok, d2, jnp.inf)
@@ -163,25 +204,51 @@ def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
     """
     pts = se3.apply(T, src.points)
     n = pts.shape[0]
-    c = field.keys.shape[0]
     qkeys = pack_key(cell_coords(pts, spec), spec)
     nkeys = neighbor_offsets_keys(qkeys, spec)                # (N, 27)
-    pos = jnp.clip(jnp.searchsorted(field.keys, nkeys), 0, c - 1)
-    hit = (jnp.take(field.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
-    ok = hit & jnp.take(field.valid, pos)
-    mus = jnp.take(field.means, pos, axis=0)                  # (N, 27, 3)
-    lams = jnp.take(field.info, pos, axis=0)                  # (N, 27, 3, 3)
+    pos, hit = _probe_slots(field, nkeys)
 
-    r = pts[:, None, :] - mus                                 # (N, 27, 3)
-    d2 = jnp.einsum("nki,nkij,nkj->nk", r, lams, r)
-    de2 = jnp.sum(r * r, axis=-1)
-    gate = ok & src.mask[:, None] & (de2 < params.max_corr_dist ** 2)
-    g = params.score_temperature if gamma is None else gamma
-    s = jnp.where(gate,
-                  jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)  # (N, 27)
-
-    L = jnp.einsum("nk,nkij->nij", s, lams)                   # (N, 3, 3)
-    y = jnp.einsum("nk,nkij,nkj->ni", s, lams, r)             # (N, 3)
+    if field.packed is not None:
+        # Fast path: one (N, 27, 16) gather; Mahalanobis math lane-wise.
+        P = jnp.take(field.packed, pos, axis=0)               # (N, 27, 16)
+        mus = P[..., 0:3]
+        l00, l01, l02 = P[..., 3], P[..., 4], P[..., 5]
+        l11, l12, l22 = P[..., 6], P[..., 7], P[..., 8]
+        ok = hit & (P[..., 9] > 0.5)
+        r = pts[:, None, :] - mus                             # (N, 27, 3)
+        r0, r1, r2 = r[..., 0], r[..., 1], r[..., 2]
+        # (Lambda r) components
+        q0 = l00 * r0 + l01 * r1 + l02 * r2
+        q1 = l01 * r0 + l11 * r1 + l12 * r2
+        q2 = l02 * r0 + l12 * r1 + l22 * r2
+        d2 = q0 * r0 + q1 * r1 + q2 * r2
+        de2 = r0 * r0 + r1 * r1 + r2 * r2
+        gate = ok & src.mask[:, None] & (de2 < params.max_corr_dist ** 2)
+        g = params.score_temperature if gamma is None else gamma
+        s = jnp.where(gate, jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)
+        # y_i = sum_k s (Lambda r)_i ; L = sum_k s Lambda (6 components)
+        y = jnp.stack([jnp.sum(s * q0, 1), jnp.sum(s * q1, 1),
+                       jnp.sum(s * q2, 1)], axis=1)           # (N, 3)
+        c00 = jnp.sum(s * l00, 1); c01 = jnp.sum(s * l01, 1)
+        c02 = jnp.sum(s * l02, 1); c11 = jnp.sum(s * l11, 1)
+        c12 = jnp.sum(s * l12, 1); c22 = jnp.sum(s * l22, 1)
+        L = jnp.stack([
+            jnp.stack([c00, c01, c02], 1),
+            jnp.stack([c01, c11, c12], 1),
+            jnp.stack([c02, c12, c22], 1)], axis=1)           # (N, 3, 3)
+    else:
+        ok = hit & jnp.take(field.valid, pos)
+        mus = jnp.take(field.means, pos, axis=0)              # (N, 27, 3)
+        lams = jnp.take(field.info, pos, axis=0)              # (N, 27, 3, 3)
+        r = pts[:, None, :] - mus                             # (N, 27, 3)
+        d2 = jnp.einsum("nki,nkij,nkj->nk", r, lams, r)
+        de2 = jnp.sum(r * r, axis=-1)
+        gate = ok & src.mask[:, None] & (de2 < params.max_corr_dist ** 2)
+        g = params.score_temperature if gamma is None else gamma
+        s = jnp.where(gate,
+                      jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)
+        L = jnp.einsum("nk,nkij->nij", s, lams)               # (N, 3, 3)
+        y = jnp.einsum("nk,nkij,nkj->ni", s, lams, r)         # (N, 3)
 
     phat = jax.vmap(se3.hat)(pts)                             # (N, 3, 3)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pts.dtype), (n, 3, 3))
