@@ -1,0 +1,129 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.core import se3
+from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.ingest import synthetic as syn
+from tpu_slam.ingest.deskew import (deskew_cloud, interpolate_pose,
+                                    vlp16_time_fractions)
+from tpu_slam.kernels.voxel_hash import VoxelGridSpec
+from tpu_slam.mapping.occupancy import (empty_occupancy, occupancy_update,
+                                        occupancy_probability, query_occupancy,
+                                        ray_evidence)
+
+
+def test_interpolate_pose_endpoints_and_midpoint():
+    T0 = jnp.eye(4)
+    xi = jnp.array([1.0, 0.5, 0.0, 0.0, 0.0, 0.6], jnp.float32)
+    T1 = se3.exp(xi)
+    np.testing.assert_allclose(np.asarray(interpolate_pose(T0, T1,
+                                                           jnp.float32(0.0))),
+                               np.eye(4), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(interpolate_pose(T0, T1,
+                                                           jnp.float32(1.0))),
+                               np.asarray(T1), atol=1e-5)
+    mid = interpolate_pose(T0, T1, jnp.float32(0.5))
+    np.testing.assert_allclose(np.asarray(mid @ mid),
+                               np.asarray(T1), atol=1e-5)
+
+
+def test_deskew_recovers_static_geometry():
+    """Simulate a VLP-16 sweep while the base moves; deskewed points must
+    match a static capture from the sweep-end pose."""
+    world = syn.default_office()
+    T_start = syn.se2_pose(0.0, 0.0, 0.0, z=1.2)
+    T_end = syn.se2_pose(0.4, 0.1, 0.08, z=1.2)
+    xi = np.asarray(se3.log(jnp.asarray(
+        np.linalg.inv(T_start) @ T_end, jnp.float32)))
+
+    n_az = 360
+    dirs = syn.vlp16_directions(n_az)          # ordered by azimuth
+    az = np.arctan2(dirs[:, 1], dirs[:, 0]) % (2 * np.pi)
+    frac = az / (2 * np.pi)
+
+    # capture each point from the interpolated pose at its time fraction
+    pts = np.zeros((dirs.shape[0], 3), np.float32)
+    valid = np.zeros(dirs.shape[0], bool)
+    for chunk in range(36):                     # batch by azimuth block
+        sel = slice(chunk * 160, (chunk + 1) * 160)
+        a = float(np.median(frac[sel]))
+        T_a = np.asarray(T_start @ np.asarray(
+            se3.exp(jnp.asarray(a * xi, jnp.float32))))
+        dw = dirs[sel] @ T_a[:3, :3].T
+        o = np.broadcast_to(T_a[:3, 3], dw.shape)
+        r = world.raycast(o, dw)
+        v = np.isfinite(r)
+        pts[sel] = (dirs[sel] * np.where(v, r, 0.0)[:, None]).astype(np.float32)
+        valid[sel] = v
+        frac[sel] = a
+
+    cloud = PointCloud(points=jnp.asarray(pts), mask=jnp.asarray(valid))
+    fixed = deskew_cloud(cloud, jnp.asarray(frac, jnp.float32),
+                         jnp.asarray(T_start, jnp.float32),
+                         jnp.asarray(T_end, jnp.float32))
+
+    # correctness criterion: mapped through the sweep-end pose, deskewed
+    # points must sit ON the world surfaces; raw (distorted) points
+    # treated as if captured at T_end are off-surface
+    def surface_dist(body_pts):
+        w = body_pts[valid] @ T_end[:3, :3].T + T_end[:3, 3]
+        o, u, v, nrm = world._arrays()
+        d = np.abs(np.einsum("nkd,kd->nk", w[:, None, :] - o[None], nrm))
+        return np.median(d.min(axis=1))
+
+    err_deskew = surface_dist(np.asarray(fixed.points))
+    err_raw = surface_dist(pts)
+    assert err_deskew < 0.05 * err_raw, (err_deskew, err_raw)
+    assert err_deskew < 2e-3, err_deskew
+
+
+def test_vlp16_time_fractions():
+    dirs = syn.vlp16_directions(8)
+    frac = np.asarray(vlp16_time_fractions(jnp.asarray(
+        dirs.astype(np.float32))))
+    assert frac.min() >= 0 and frac.max() < 1
+    # azimuth 0 block first, monotone by azimuth block
+    assert frac[0] < frac[-1]
+
+
+def test_occupancy_hits_and_freespace():
+    spec = VoxelGridSpec.centered(leaf=0.25, half_extent=8.0)
+    origin = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    # a wall of endpoints at x = 4
+    ys = np.linspace(-2, 2, 50)
+    pts = np.stack([np.full(50, 4.0), ys, np.full(50, 1.0)], 1).astype(
+        np.float32)
+    cloud = PointCloud.from_points(jnp.asarray(pts), capacity=64)
+
+    keys, delta = ray_evidence(origin, cloud, spec, n_steps=64)
+    grid = occupancy_update(empty_occupancy(8192), keys, delta)
+
+    # endpoint voxels occupied
+    lo_hit = query_occupancy(grid, jnp.asarray(pts), spec)
+    assert float(jnp.min(lo_hit)) > 0
+
+    # free space along the ray is negative
+    mid = np.stack([np.full(50, 2.0), 0.5 * ys, np.full(50, 1.0)], 1)
+    lo_free = query_occupancy(grid, jnp.asarray(mid, jnp.float32), spec)
+    assert float(jnp.max(lo_free)) < 0
+
+    # unknown region is exactly 0
+    unk = jnp.asarray([[0.0, 0.0, 6.0]], jnp.float32)
+    assert float(query_occupancy(grid, unk, spec)[0]) == 0.0
+
+    assert float(jnp.max(occupancy_probability(grid))) <= 1.0
+
+
+def test_occupancy_accumulates_and_clamps():
+    spec = VoxelGridSpec.centered(leaf=0.25, half_extent=8.0)
+    origin = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    pts = jnp.asarray([[3.0, 0.0, 1.0]], jnp.float32)
+    cloud = PointCloud.from_points(pts, capacity=8)
+    grid = empty_occupancy(1024)
+    for _ in range(20):
+        keys, delta = ray_evidence(origin, cloud, spec, n_steps=64)
+        grid = occupancy_update(grid, keys, delta)
+    lo = query_occupancy(grid, pts, spec)
+    assert float(lo[0]) <= 6.0 + 1e-6   # clamped at max_log

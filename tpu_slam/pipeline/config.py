@@ -37,6 +37,8 @@ class OdometryConfig:
     icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0)
 
     # Motion model / insertion policy
+    deskew: bool = False                # undistort scans with the predicted
+                                        # motion (VLP-16 azimuth timing)
     use_constant_velocity: bool = True
     max_pred_translation: float = 0.7   # clamp on CV-extrapolated motion (m)
     max_pred_rotation: float = 0.3      # ... and rotation (rad)

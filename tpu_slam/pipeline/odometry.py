@@ -117,6 +117,16 @@ class LidarOdometry:
         """Process one aggregated 3D scan (body-frame points)."""
         cfg = self.config
         with Stopwatch() as sw:
+            if cfg.deskew and state.scan_index > 0:
+                # undistort with the predicted sweep motion: the relative
+                # start->end transform is the (clamped) last delta
+                from tpu_slam.ingest.deskew import (deskew_cloud,
+                                                    vlp16_time_fractions)
+                pred = self._clamped_delta(state.last_delta)
+                frac = vlp16_time_fractions(cloud.points)
+                cloud = deskew_cloud(cloud, frac,
+                                     T_start=se3.inverse(pred),
+                                     T_end=jnp.eye(4, dtype=jnp.float32))
             scan = self.downsample(cloud)
 
             if state.scan_index == 0:
