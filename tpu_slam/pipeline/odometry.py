@@ -46,6 +46,10 @@ class OdometryState:
     last_delta: jax.Array      # (4, 4) previous relative motion
     vmap: VoxelMap
     scan_index: int = 0
+    # cached NDT field (rebuilt only when the map changes — the eigh over
+    # all voxels is the most expensive per-scan op and skipping it on
+    # no-insert scans is free accuracy-wise)
+    field: object = None
 
 
 class LidarOdometry:
@@ -86,10 +90,11 @@ class LidarOdometry:
         return se3.exp(xi * scale)
 
     def _register(self, scan: PointCloud, init_T: jax.Array,
-                  vmap: VoxelMap):
+                  vmap: VoxelMap, field=None):
         cfg = self.config
         if cfg.method == "ndt":
-            field = ndt_field(vmap, self.map_spec, cfg.ndt)
+            if field is None:
+                field = ndt_field(vmap, self.map_spec, cfg.ndt)
             res = ndt_register(scan, field, self.map_spec, init_T=init_T,
                                params=cfg.ndt)
             return res.T, res.iterations, res.score, res.matched_fraction
@@ -147,9 +152,15 @@ class LidarOdometry:
                 self.metrics.append(m)
                 return new_state, m
 
+            # (re)build the cached NDT field only when the map changed
+            field = state.field
+            if cfg.method == "ndt" and field is None:
+                field = ndt_field(state.vmap, self.map_spec, cfg.ndt)
+
             init_T = (state.pose @ self._clamped_delta(state.last_delta)
                       if cfg.use_constant_velocity else state.pose)
-            T, iters, resid, frac = self._register(scan, init_T, state.vmap)
+            T, iters, resid, frac = self._register(scan, init_T, state.vmap,
+                                                   field)
 
             # Divergence guard: a collapsed match fraction means the solve
             # left the map's support — coast on the prediction instead of
@@ -165,6 +176,7 @@ class LidarOdometry:
                 world = cloud.transform(T)
                 vmap = insert_cloud(vmap, world, self.map_spec,
                                     stamp=float(state.scan_index))
+                field = None  # map changed; invalidate the field cache
             jax.block_until_ready(T)
 
         xi = se3.log(delta)
@@ -179,7 +191,8 @@ class LidarOdometry:
         )
         self.metrics.append(m)
         new_state = OdometryState(pose=T, last_delta=delta, vmap=vmap,
-                                  scan_index=state.scan_index + 1)
+                                  scan_index=state.scan_index + 1,
+                                  field=field)
         return new_state, m
 
     def run(self, clouds, init_pose: Optional[jax.Array] = None

@@ -136,7 +136,9 @@ class SLAMSystem:
         odom = state.odom
         if cfg.rebuild_map_after_loop:
             vmap = self._rebuild_map(graph, state.kf_points, state.kf_mask, n)
-            odom = dataclasses.replace(odom, vmap=vmap, pose=new_pose)
+            # field=None: the cached NDT field is stale after a rebuild
+            odom = dataclasses.replace(odom, vmap=vmap, pose=new_pose,
+                                       field=None)
         else:
             odom = dataclasses.replace(odom, pose=new_pose)
 
