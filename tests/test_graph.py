@@ -155,3 +155,32 @@ def ICPParams_for_test():
     from tpu_slam.registration.icp import ICPParams
     return ICPParams(max_iterations=30, max_corr_dist=1.5, huber_delta=0.3,
                      nn_impl="xla")
+
+
+def test_robust_kernel_rejects_bad_loop():
+    """A WRONG loop-closure edge must not fold the trajectory when the
+    robust kernel is on."""
+    rng = np.random.default_rng(5)
+    g, gt = _make_noisy_circle_graph(rng, with_loop=True)
+    # inject a grossly wrong loop edge (1.5 m / 40 deg off)
+    bad_Z = se3.exp(jnp.array([1.5, -1.0, 0.5, 0.3, 0.2, 0.6],
+                              jnp.float32)) @ (
+        se3.inverse(gt[3]) @ gt[18])
+    g_bad = add_edge(g, 3, 18, bad_Z,
+                     info=10.0 * jnp.eye(6, dtype=jnp.float32))
+
+    plain, _ = optimize_pose_graph(
+        g_bad, GraphSolveParams(gn_iterations=12))
+    robust, _ = optimize_pose_graph(
+        g_bad, GraphSolveParams(gn_iterations=12, robust_delta=0.3))
+    ate_plain = _ate(plain, gt, 24)
+    ate_robust = _ate(robust, gt, 24)
+    # the redescending kernel must cut the bad edge's damage several-fold
+    # (full recovery needs the loop-verification gate upstream — the
+    # robust kernel is the second line of defense)
+    assert ate_robust < 0.5 * ate_plain, (ate_plain, ate_robust)
+    # and the robust kernel must not hurt the clean graph
+    clean_r, _ = optimize_pose_graph(
+        g, GraphSolveParams(gn_iterations=12, robust_delta=0.3))
+    clean, _ = optimize_pose_graph(g, GraphSolveParams(gn_iterations=12))
+    assert _ate(clean_r, gt, 24) < 1.5 * _ate(clean, gt, 24) + 0.02

@@ -87,6 +87,20 @@ class GraphSolveParams:
     damping: float = 1e-6          # Levenberg diagonal damping
     prior_weight: float = 1e6      # gauge prior on pose 0
     solver: str = "pcg"            # 'pcg' | 'dense'
+    robust_delta: float = 0.0      # robust IRLS width on edge chi (0 = off):
+                                   # a wrong loop closure gets its influence
+                                   # cut instead of folding the trajectory
+    robust_kernel: str = "cauchy"  # 'huber' (delta/chi, linear influence)
+                                   # | 'cauchy' (1/(1+chi^2/delta^2),
+                                   # redescending — rejects gross outliers)
+    robust_anneal: float = 1.0     # optional GNC: first-iteration delta
+                                   # multiplier, decayed geometrically to
+                                   # robust_delta. Default off: with a
+                                   # strongly-weighted wrong loop edge the
+                                   # wide early iterations fold the graph
+                                   # before rejection tightens; the fixed
+                                   # redescending kernel recovers better
+                                   # from a drifted init
 
 
 # ---------------------------------------------------------------------------
@@ -120,10 +134,26 @@ def _gather_edge_terms(graph: PoseGraph):
     return r, Jj, info
 
 
-def _build_rhs_and_diag(graph: PoseGraph, params: GraphSolveParams):
-    """-J^T W r (the GN rhs) and the block-diagonal of H (preconditioner)."""
+def _build_rhs_and_diag(graph: PoseGraph, params: GraphSolveParams,
+                        delta: Optional[jax.Array] = None):
+    """-J^T W r (the GN rhs) and the block-diagonal of H (preconditioner).
+
+    ``delta`` is the robust width for THIS iteration (graduated
+    non-convexity anneals it across GN iterations: at the drifted initial
+    estimate even correct loop closures carry large chi, so a fixed tight
+    kernel would reject them along with the outliers).
+    """
     n = graph.node_capacity
     r, Jj, info = _gather_edge_terms(graph)
+    if params.robust_delta > 0.0:
+        d = params.robust_delta if delta is None else delta
+        chi = jnp.sqrt(jnp.maximum(
+            jnp.einsum("ea,eab,eb->e", r, info, r), 1e-12))
+        if params.robust_kernel == "huber":
+            w = jnp.where(chi <= d, 1.0, d / chi)
+        else:  # cauchy (redescending)
+            w = 1.0 / (1.0 + (chi / d) ** 2)
+        info = info * w[:, None, None]
     WJ = jnp.einsum("eab,ebc->eac", info, Jj)         # (E, 6, 6)
     Wr = jnp.einsum("eab,eb->ea", info, r)            # (E, 6)
     JtWr_j = jnp.einsum("eba,eb->ea", Jj, Wr)         # J_j^T W r
@@ -225,11 +255,26 @@ def graph_error(graph: PoseGraph) -> jax.Array:
 def optimize_pose_graph(graph: PoseGraph,
                         params: GraphSolveParams = GraphSolveParams()
                         ) -> Tuple[PoseGraph, jax.Array]:
-    """Run GN iterations; returns (optimized graph, final chi^2)."""
-    solve = _solve_dense if params.solver == "dense" else _solve_pcg
+    """Run GN iterations; returns (optimized graph, final chi^2).
 
-    def gn_step(g, _):
-        b, diag, edge_terms = _build_rhs_and_diag(g, params)
+    With a robust kernel active, the kernel width is annealed (graduated
+    non-convexity): delta starts at robust_anneal x the target and decays
+    geometrically to the target over the iterations, so correct-but-
+    drift-strained loop edges pull the solution in before outlier
+    rejection tightens.
+    """
+    solve = _solve_dense if params.solver == "dense" else _solve_pcg
+    K = params.gn_iterations
+    if params.robust_delta > 0.0 and K > 1:
+        ratio = params.robust_anneal ** (1.0 / (K - 1))
+        deltas = jnp.asarray(
+            [params.robust_delta * params.robust_anneal / ratio ** i
+             for i in range(K)], jnp.float32)
+    else:
+        deltas = jnp.full((K,), params.robust_delta, jnp.float32)
+
+    def gn_step(g, delta):
+        b, diag, edge_terms = _build_rhs_and_diag(g, params, delta)
         xi = solve(g, params, b, diag, edge_terms)
         # freeze padding nodes (indices >= n_nodes)
         live = (jnp.arange(g.node_capacity) < g.n_nodes)[:, None]
@@ -238,7 +283,7 @@ def optimize_pose_graph(graph: PoseGraph,
         g = dataclasses.replace(g, poses=new_poses)
         return g, jnp.sum(xi * xi)
 
-    graph, _ = jax.lax.scan(gn_step, graph, None, length=params.gn_iterations)
+    graph, _ = jax.lax.scan(gn_step, graph, deltas)
     return graph, graph_error(graph)
 
 
