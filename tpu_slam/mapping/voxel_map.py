@@ -251,7 +251,8 @@ def lookup_voxels(vmap: VoxelMap, query_keys: jax.Array) -> jax.Array:
     return jnp.where(hit, pos, -1)
 
 
-def neighborhood_moments(vmap: VoxelMap, spec: VoxelGridSpec
+def neighborhood_moments(vmap: VoxelMap, spec: VoxelGridSpec,
+                         lookup: Optional[jax.Array] = None
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Aggregate 3x3x3-neighborhood moments for every occupied voxel.
 
@@ -263,14 +264,23 @@ def neighborhood_moments(vmap: VoxelMap, spec: VoxelGridSpec
         sum'   = sum + n * d
         outer' = outer + d sum^T + sum d^T + n d d^T,   d = corner_v - corner_0
 
+    ``lookup`` (optional): dense cell->slot table (-1 empty) — one gather
+    replaces the 27C binary searches (the dominant cost of a field build).
+
     Returns (count (C,), mean_world (C, 3), cov (C, 3, 3)).
     """
     from tpu_slam.kernels.voxel_hash import neighbor_offsets_keys
 
     c = vmap.capacity
     nkeys = neighbor_offsets_keys(vmap.keys, spec)            # (C, 27)
-    pos = jnp.clip(jnp.searchsorted(vmap.keys, nkeys), 0, c - 1)
-    hit = (jnp.take(vmap.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
+    if lookup is not None:
+        safe = jnp.clip(nkeys, 0, lookup.shape[0] - 1)
+        pos = jnp.take(lookup, safe)
+        hit = (pos >= 0) & (nkeys != INVALID_KEY) & (nkeys >= 0)
+        pos = jnp.maximum(pos, 0)
+    else:
+        pos = jnp.clip(jnp.searchsorted(vmap.keys, nkeys), 0, c - 1)
+        hit = (jnp.take(vmap.keys, pos) == nkeys) & (nkeys != INVALID_KEY)
     w = hit.astype(jnp.float32)
 
     n_v = jnp.take(vmap.count, pos) * w                       # (C, 27)
@@ -315,3 +325,17 @@ def voxel_normals_neighborhood(vmap: VoxelMap, spec: VoxelGridSpec,
     planar = evals[:, 0] < planarity * jnp.maximum(evals[:, 1], 1e-12)
     valid = vmap.occupied_mask() & (cnt >= min_count) & planar
     return normals, valid
+
+
+def build_dense_lookup(vmap: VoxelMap, spec: VoxelGridSpec) -> jax.Array:
+    """Dense cell->slot table (size 2^(3*dim_bits), -1 = empty).
+
+    The packed key IS the cell's linear index, so this is one scatter;
+    every later probe is one gather instead of a binary search.
+    """
+    size = 1 << (3 * spec.dim_bits)
+    table = jnp.full((size,), jnp.int32(-1))
+    occ = vmap.occupied_mask()
+    slots = jnp.arange(vmap.capacity, dtype=jnp.int32)
+    idx = jnp.where(occ, vmap.keys, size)   # unoccupied -> dropped
+    return table.at[idx].set(slots, mode="drop")

@@ -39,6 +39,7 @@ from tpu_slam.kernels.voxel_hash import (
 )
 from tpu_slam.mapping.voxel_map import (
     VoxelMap,
+    build_dense_lookup,
     neighborhood_moments,
     voxel_covariances,
     voxel_means,
@@ -112,8 +113,12 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
     single-voxel Gaussians would fall below min_voxel_count across half the
     map and starve the solver of correspondences.
     """
+    lookup = None
+    if 3 * spec.dim_bits <= params.dense_lookup_max_bits:
+        lookup = build_dense_lookup(vmap, spec)
     if params.use_neighborhood:
-        cnt, means, cov = neighborhood_moments(vmap, spec)
+        # the dense table also accelerates the 27C moment gathers here
+        cnt, means, cov = neighborhood_moments(vmap, spec, lookup=lookup)
         valid = vmap.occupied_mask() & (cnt >= params.min_voxel_count)
     else:
         means = voxel_means(vmap, spec)
@@ -125,15 +130,6 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
     evals_f = jnp.maximum(evals, floor)
     inv_evals = 1.0 / evals_f
     info = jnp.einsum("cij,cj,ckj->cik", evecs, inv_evals, evecs)
-    lookup = None
-    if 3 * spec.dim_bits <= params.dense_lookup_max_bits:
-        size = 1 << (3 * spec.dim_bits)
-        table = jnp.full((size,), jnp.int32(-1))
-        occ = vmap.occupied_mask()
-        slots = jnp.arange(vmap.capacity, dtype=jnp.int32)
-        # unoccupied entries scatter out-of-bounds and are dropped
-        idx = jnp.where(occ, vmap.keys, size)
-        lookup = table.at[idx].set(slots, mode="drop")
     iu0, iu1 = jnp.triu_indices(3)
     packed = jnp.concatenate([
         means,
