@@ -162,32 +162,49 @@ class LidarOdometry:
             T, iters, resid, frac = self._register(scan, init_T, state.vmap,
                                                    field)
 
+            # ONE device->host sync per scan: every gating decision reads
+            # from this batch (scattered float() syncs each pay a full
+            # dispatch round-trip — the dominant per-scan cost on remote-
+            # attached TPUs).
+            delta_reg = se3.inverse(state.pose) @ T
+            xi_reg = se3.log(delta_reg)
+            stats = np.asarray(jnp.concatenate([
+                jnp.stack([frac.astype(jnp.float32),
+                           iters.astype(jnp.float32),
+                           resid.astype(jnp.float32)]),
+                jnp.stack([jnp.linalg.norm(xi_reg[:3]),
+                           jnp.linalg.norm(xi_reg[3:])]),
+            ]))
+            frac_h, iters_h, resid_h, dt_h, dr_h = (
+                float(stats[0]), float(stats[1]), float(stats[2]),
+                float(stats[3]), float(stats[4]))
+
             # Divergence guard: a collapsed match fraction means the solve
             # left the map's support — coast on the prediction instead of
             # poisoning pose and map with a runaway estimate.
-            rejected = float(frac) < cfg.min_accept_fraction
+            rejected = frac_h < cfg.min_accept_fraction
             if rejected:
                 T = init_T
+                delta = se3.inverse(state.pose) @ T
+            else:
+                delta = delta_reg
 
-            delta = se3.inverse(state.pose) @ T
             vmap = state.vmap
             if (state.scan_index % cfg.insert_every == 0 and not rejected
-                    and float(frac) >= cfg.min_insert_fraction):
+                    and frac_h >= cfg.min_insert_fraction):
                 world = cloud.transform(T)
                 vmap = insert_cloud(vmap, world, self.map_spec,
                                     stamp=float(state.scan_index))
                 field = None  # map changed; invalidate the field cache
-            jax.block_until_ready(T)
 
-        xi = se3.log(delta)
         m = ScanMetrics(
             scan_index=state.scan_index,
-            iterations=int(iters),
-            residual=float(resid),
-            matched_fraction=float(frac),
+            iterations=int(iters_h),
+            residual=resid_h,
+            matched_fraction=frac_h,
             wall_time_s=sw.elapsed,
-            translation_delta=float(jnp.linalg.norm(xi[:3])),
-            rotation_delta=float(jnp.linalg.norm(xi[3:])),
+            translation_delta=dt_h,
+            rotation_delta=dr_h,
         )
         self.metrics.append(m)
         new_state = OdometryState(pose=T, last_delta=delta, vmap=vmap,
