@@ -339,3 +339,86 @@ def build_dense_lookup(vmap: VoxelMap, spec: VoxelGridSpec) -> jax.Array:
     slots = jnp.arange(vmap.capacity, dtype=jnp.int32)
     idx = jnp.where(occ, vmap.keys, size)   # unoccupied -> dropped
     return table.at[idx].set(slots, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "factor"))
+def coarsen_map(vmap: VoxelMap, spec: VoxelGridSpec, factor: int = 4
+                ) -> VoxelMap:
+    """Re-aggregate the map's moments at a ``factor``x coarser leaf.
+
+    The coarse map feeds the first level of a multi-resolution NDT pyramid:
+    fat coarse Gaussians have meter-scale basins with the CORRECT
+    anisotropy (unlike temperature widening, which cannot stretch a
+    centimeter-thin wall Gaussian to a 1.5 m capture range, or isotropic
+    weighting, which lets ground points veto tangential motion).
+
+    ``factor`` must be a power of two; the coarse spec keeps the origin and
+    drops log2(factor) bits per axis.
+    """
+    import math as _math
+    s = int(_math.log2(factor))
+    if (1 << s) != factor:
+        raise ValueError("factor must be a power of two")
+    b = spec.dim_bits
+    bc = b - s
+    n = spec.cells_per_axis
+
+    keys = vmap.keys
+    occ = vmap.occupied_mask()
+    ix = (keys >> (2 * b)) & (n - 1)
+    iy = (keys >> b) & (n - 1)
+    iz = keys & (n - 1)
+    cx, cy, cz = ix >> s, iy >> s, iz >> s
+    ckeys = (cx << (2 * bc)) | (cy << bc) | cz
+    ckeys = jnp.where(occ, ckeys, INVALID_KEY)
+
+    # shift fine voxel-local moments to the coarse corner frame
+    fine_corner = decode_corner(keys, spec)
+    coarse_spec_leaf = spec.leaf * factor
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    coarse_corner = (jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32)
+                     * coarse_spec_leaf + origin)
+    d = jnp.where(occ[:, None], fine_corner - coarse_corner, 0.0)
+    nw = vmap.count
+    s_shift = vmap.sum_pts + nw[:, None] * d
+    o_shift = (vmap.sum_outer
+               + d[:, :, None] * vmap.sum_pts[:, None, :]
+               + vmap.sum_pts[:, :, None] * d[:, None, :]
+               + nw[:, None, None] * d[:, :, None] * d[:, None, :])
+
+    order = jnp.argsort(ckeys, stable=True)
+    k = jnp.take(ckeys, order)
+    c = jnp.take(nw, order)
+    ss = jnp.take(s_shift, order, axis=0)
+    oo = jnp.take(o_shift, order, axis=0)
+    st = jnp.take(vmap.stamp, order)
+    m = k.shape[0]
+    seg_ids, is_start = segment_ids_from_sorted_keys(k)
+    valid = k != INVALID_KEY
+    mc = jax.ops.segment_sum(jnp.where(valid, c, 0.0), seg_ids,
+                             num_segments=m)
+    ms = jax.ops.segment_sum(jnp.where(valid[:, None], ss, 0.0), seg_ids,
+                             num_segments=m)
+    mo = jax.ops.segment_sum(
+        jnp.where(valid[:, None, None], oo, 0.0), seg_ids, num_segments=m)
+    mst = jax.ops.segment_max(jnp.where(valid, st, -jnp.inf), seg_ids,
+                              num_segments=m)
+    mk = jax.ops.segment_max(
+        jnp.where(is_start & valid, k, jnp.int32(-2147483648)), seg_ids,
+        num_segments=m)
+    seg_valid = mc > 0
+    mk = jnp.where(seg_valid, mk, INVALID_KEY)
+    order2 = jnp.argsort(jnp.where(seg_valid, mk, INVALID_KEY), stable=True)
+    return VoxelMap(keys=jnp.take(mk, order2),
+                    count=jnp.take(mc, order2),
+                    sum_pts=jnp.take(ms, order2, axis=0),
+                    sum_outer=jnp.take(mo, order2, axis=0),
+                    stamp=jnp.take(mst, order2))
+
+
+def coarse_spec_of(spec: VoxelGridSpec, factor: int) -> VoxelGridSpec:
+    """The VoxelGridSpec matching coarsen_map's output keys."""
+    import math as _math
+    s = int(_math.log2(factor))
+    return VoxelGridSpec(leaf=spec.leaf * factor, origin=spec.origin,
+                         dim_bits=spec.dim_bits - s)

@@ -35,6 +35,14 @@ class OdometryConfig:
     method: str = "ndt"                 # 'ndt' | 'icp_point' | 'icp_plane'
     ndt: NDTParams = NDTParams(max_iterations=30)
     icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0)
+    pyramid_factor: int = 0             # multi-resolution NDT: register
+                                        # against a factor-x coarser field
+                                        # first (power of 2; 0 = off). Fat
+                                        # coarse Gaussians give meter-scale
+                                        # capture with correct anisotropy —
+                                        # needed when inter-scan motion
+                                        # exceeds the fine Gaussians' basin
+                                        # (fast outdoor driving)
 
     # Motion model / insertion policy
     deskew: bool = False                # undistort scans with the predicted

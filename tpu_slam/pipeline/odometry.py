@@ -89,13 +89,38 @@ class LidarOdometry:
             jnp.minimum(1.0, cfg.max_pred_rotation / jnp.maximum(r_n, 1e-9)))
         return se3.exp(xi * scale)
 
+    def _build_fields(self, vmap: VoxelMap):
+        """(fine_field, coarse_field_or_None) for the NDT method."""
+        cfg = self.config
+        fine = ndt_field(vmap, self.map_spec, cfg.ndt)
+        coarse = None
+        if cfg.pyramid_factor > 1:
+            from tpu_slam.mapping.voxel_map import coarse_spec_of, coarsen_map
+            cspec = coarse_spec_of(self.map_spec, cfg.pyramid_factor)
+            cmap = coarsen_map(vmap, self.map_spec, cfg.pyramid_factor)
+            coarse = ndt_field(cmap, cspec, self._coarse_params())
+        return fine, coarse
+
+    def _coarse_params(self):
+        cfg = self.config
+        return dataclasses.replace(
+            cfg.ndt, max_iterations=max(10, cfg.ndt.max_iterations // 2),
+            max_corr_dist=cfg.ndt.max_corr_dist * cfg.pyramid_factor)
+
     def _register(self, scan: PointCloud, init_T: jax.Array,
                   vmap: VoxelMap, field=None):
         cfg = self.config
         if cfg.method == "ndt":
             if field is None:
-                field = ndt_field(vmap, self.map_spec, cfg.ndt)
-            res = ndt_register(scan, field, self.map_spec, init_T=init_T,
+                field = self._build_fields(vmap)
+            fine, coarse = field
+            if coarse is not None:
+                from tpu_slam.mapping.voxel_map import coarse_spec_of
+                cspec = coarse_spec_of(self.map_spec, cfg.pyramid_factor)
+                cres = ndt_register(scan, coarse, cspec, init_T=init_T,
+                                    params=self._coarse_params())
+                init_T = cres.T
+            res = ndt_register(scan, fine, self.map_spec, init_T=init_T,
                                params=cfg.ndt)
             return res.T, res.iterations, res.score, res.matched_fraction
         # ICP flavors use the map's voxel means as the target cloud
@@ -152,10 +177,10 @@ class LidarOdometry:
                 self.metrics.append(m)
                 return new_state, m
 
-            # (re)build the cached NDT field only when the map changed
+            # (re)build the cached NDT field(s) only when the map changed
             field = state.field
             if cfg.method == "ndt" and field is None:
-                field = ndt_field(state.vmap, self.map_spec, cfg.ndt)
+                field = self._build_fields(state.vmap)
 
             init_T = (state.pose @ self._clamped_delta(state.last_delta)
                       if cfg.use_constant_velocity else state.pose)

@@ -62,6 +62,10 @@ class NDTParams:
     coarse_temperature_scale: float = 16.0  # graduated non-convexity: stage-1
                                      # gamma multiplier (wide smooth basin)
     coarse_iterations: int = 10      # LM iterations in the coarse stage
+    isotropic_iterations: int = 0    # optional stage-0: point-to-mean pull
+                                     # (identity information) for inits
+                                     # beyond the Gaussians' basin — enable
+                                     # for large inter-scan motion (outdoor)
     dense_lookup_max_bits: int = 24  # materialize the cell->slot table when
                                      # 3*dim_bits <= this (2^24 = 64 MB max)
     damping: float = 1e-6
@@ -182,7 +186,8 @@ def _ndt_correspond(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
 
 def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
                spec: VoxelGridSpec, params: "NDTParams",
-               gamma: Optional[jax.Array] = None):
+               gamma: Optional[jax.Array] = None,
+               isotropic: bool = False):
     """Smooth NDT objective + GN terms at pose T, summed over ALL valid
     Gaussians in each point's 27-neighborhood.
 
@@ -221,7 +226,19 @@ def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
         de2 = r0 * r0 + r1 * r1 + r2 * r2
         gate = ok & src.mask[:, None] & (de2 < params.max_corr_dist ** 2)
         g = params.score_temperature if gamma is None else gamma
-        s = jnp.where(gate, jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)
+        if isotropic:
+            # point-to-mean alignment: thin Gaussians give no gradient when
+            # the init error exceeds a few sigma (outdoor steps vs cm-thin
+            # walls) — the isotropic stage pulls on Euclidean distance at
+            # max_corr_dist scale regardless of covariance shape
+            sig2 = (0.5 * params.max_corr_dist) ** 2
+            q0, q1, q2 = r0 / sig2, r1 / sig2, r2 / sig2
+            l00 = l11 = l22 = jnp.full_like(r0, 1.0 / sig2)
+            l01 = l02 = l12 = jnp.zeros_like(r0)
+            s = jnp.where(gate, jnp.exp(-0.5 * de2 / (sig2 * g)), 0.0)
+        else:
+            s = jnp.where(gate, jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)),
+                          0.0)
         # y_i = sum_k s (Lambda r)_i ; L = sum_k s Lambda (6 components)
         y = jnp.stack([jnp.sum(s * q0, 1), jnp.sum(s * q1, 1),
                        jnp.sum(s * q2, 1)], axis=1)           # (N, 3)
@@ -241,8 +258,14 @@ def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
         de2 = jnp.sum(r * r, axis=-1)
         gate = ok & src.mask[:, None] & (de2 < params.max_corr_dist ** 2)
         g = params.score_temperature if gamma is None else gamma
-        s = jnp.where(gate,
-                      jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)
+        if isotropic:
+            sig2 = (0.5 * params.max_corr_dist) ** 2
+            eye3 = jnp.eye(3, dtype=pts.dtype) / sig2
+            lams = jnp.broadcast_to(eye3, lams.shape)
+            s = jnp.where(gate, jnp.exp(-0.5 * de2 / (sig2 * g)), 0.0)
+        else:
+            s = jnp.where(gate,
+                          jnp.exp(-0.5 * jnp.minimum(d2 / g, 30.0)), 0.0)
         L = jnp.einsum("nk,nkij->nij", s, lams)               # (N, 3, 3)
         y = jnp.einsum("nk,nkij,nkj->ni", s, lams, r)         # (N, 3)
 
@@ -275,8 +298,9 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
         init_T = jnp.eye(4, dtype=source.points.dtype)
     src = source.sanitize()
 
-    def lm_solve(T0, gamma, max_iters, tol):
-        H0, b0, cost0, frac0 = _ndt_terms(src, T0, field, spec, params, gamma)
+    def lm_solve(T0, gamma, max_iters, tol, isotropic=False):
+        H0, b0, cost0, frac0 = _ndt_terms(src, T0, field, spec, params,
+                                          gamma, isotropic)
 
         def cond(state):
             T, lam_lm, cost, H, b, frac, it, dx = state
@@ -290,7 +314,7 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
             xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
             T_try = se3.retract(T, xi)
             H_t, b_t, cost_t, frac_t = _ndt_terms(src, T_try, field, spec,
-                                                  params, gamma)
+                                                  params, gamma, isotropic)
             accept = cost_t < cost
             T_n = jnp.where(accept, T_try, T)
             lam_n = jnp.where(accept, jnp.maximum(lam_lm / 3.0, 1e-7),
@@ -311,13 +335,20 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
     # local minima (discrete scan patterns alias in yaw) — then the fine
     # stage polishes at the nominal temperature.
     gamma_f = jnp.float32(params.score_temperature)
+    T_c, it_c = init_T, jnp.int32(0)
+    if params.isotropic_iterations > 0:
+        # stage 0: point-to-mean pull — long-range basin independent of
+        # the Gaussians' (often centimeter-thin) covariances
+        T_c, _, _, _, _, _, it0, _ = lm_solve(
+            T_c, gamma_f, params.isotropic_iterations,
+            10.0 * params.tolerance, isotropic=True)
+        it_c = it_c + it0
     if params.coarse_iterations > 0 and params.coarse_temperature_scale > 1.0:
         gamma_c = gamma_f * params.coarse_temperature_scale
-        T_c, _, _, _, _, _, it_c, _ = lm_solve(
-            init_T, gamma_c, params.coarse_iterations,
+        T_c, _, _, _, _, _, it1, _ = lm_solve(
+            T_c, gamma_c, params.coarse_iterations,
             10.0 * params.tolerance)
-    else:
-        T_c, it_c = init_T, jnp.int32(0)
+        it_c = it_c + it1
 
     T, lam_lm, cost, H, b, frac, iters, dx = lm_solve(
         T_c, gamma_f, params.max_iterations, params.tolerance)
