@@ -100,6 +100,7 @@ def test_slam_full_loop():
     slam = SLAMSystem(_slam_cfg())
     poses, state = slam.run(clouds, init_pose=jnp.asarray(gt[0], jnp.float32))
     assert state.n_keyframes >= 10
+    assert state.n_loop_closures > 0
     ate = ate_rmse(poses, gt, align=False)
     assert ate < 0.12, ate
 
