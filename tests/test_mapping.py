@@ -126,3 +126,48 @@ def test_ndt_identity():
     res = ndt_register(cloud, ndt_field(m, spec), spec)
     # NDT pulls points toward voxel means; ~1% of leaf drift is inherent
     np.testing.assert_allclose(np.asarray(res.T), np.eye(4), atol=6e-3)
+
+
+def test_ndt_terms_nbr_rows_tiers_match_lookup_tier():
+    """The packed-row probe tiers (G,144)/(G,48) must reproduce the
+    lookup-tier GN terms exactly (same Gaussians, same gating)."""
+    from tpu_slam.registration.ndt import _ndt_terms
+
+    world = syn.default_office()
+    T = np.eye(4); T[:3, 3] = [0, 0, 1.5]
+    pts, valid = syn.simulate_vlp16_revolution(world, T, n_azimuth=240)
+    cloud = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=4096)
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=8.0)  # 32^3 cells
+    m = insert_cloud(empty_map(8192), cloud, spec, 0.0)
+
+    base = NDTParams(pack_budget_mb=0)
+    f0 = ndt_field(m, spec, base)
+    assert f0.nbr_rows is None
+    p144 = NDTParams(pack_budget_mb=512, pack_any_backend=True)
+    f144 = ndt_field(m, spec, p144)
+    assert f144.nbr_rows is not None and f144.nbr_rows.shape[1] == 144
+    # budget that fits (G,48) but not (G,144)
+    g = 1 << (3 * spec.dim_bits)
+    mb48 = (g * 48 * 4) // (1 << 20) + 1
+    p48 = NDTParams(pack_budget_mb=mb48, pack_any_backend=True)
+    f48 = ndt_field(m, spec, p48)
+    assert f48.nbr_rows is not None and f48.nbr_rows.shape[1] == 48
+
+    T_q = se3.exp(jnp.array([0.1, -0.05, 0.02, 0.02, -0.01, 0.03],
+                            jnp.float32))
+    src = cloud.transform(se3.inverse(T_q))
+    ref = _ndt_terms(src, T_q, f0, spec, base)
+    for f, p in ((f144, p144), (f48, p48)):
+        for iso in (False, True):
+            got = _ndt_terms(src, T_q, f, spec, p, isotropic=iso)
+            want = _ndt_terms(src, T_q, f0, spec, base, isotropic=iso)
+            for a, b in zip(got, want):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-4)
+    # end-to-end: registration result identical across tiers
+    xi = jnp.array([0.15, -0.1, 0.05, 0.02, -0.02, 0.04], jnp.float32)
+    src2 = cloud.transform(se3.inverse(se3.exp(xi)))
+    r0 = ndt_register(src2, f0, spec, params=base)
+    r1 = ndt_register(src2, f144, spec, params=p144)
+    np.testing.assert_allclose(np.asarray(r0.T), np.asarray(r1.T),
+                               rtol=1e-4, atol=1e-4)
