@@ -87,3 +87,34 @@ def test_vmap_batching():
     assert Ts.shape == (8, 4, 4)
     back = se3.log_batch(Ts)
     np.testing.assert_allclose(xis, back, atol=1e-4)
+
+
+def test_sym3_eigvals_match_eigh():
+    from tpu_slam.core.sym3 import eigvals_sym3, inv_sym3, floored_info_sym3
+    rng = np.random.default_rng(0)
+    # random PSD batch incl. degenerate (planar/linear) spectra
+    q, _ = np.linalg.qr(rng.normal(size=(512, 3, 3)))
+    lam = np.abs(rng.normal(size=(512, 3))) * 0.1
+    lam[:128, 0] = 0.0                       # planar
+    lam[128:192, :2] = 0.0                   # linear
+    lam[192:224, :] = lam[192:224, 2:3]      # isotropic (repeated)
+    cov = np.einsum("nij,nj,nkj->nik", q, lam, q).astype(np.float32)
+    got = np.sort(np.asarray(eigvals_sym3(jnp.asarray(cov))), axis=-1)
+    want = np.sort(np.linalg.eigvalsh(cov), axis=-1)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=2e-4)
+
+    # closed-form inverse on well-conditioned members
+    wc = cov[256:] + 0.01 * np.eye(3, dtype=np.float32)
+    inv = np.asarray(inv_sym3(jnp.asarray(wc)))
+    np.testing.assert_allclose(inv @ wc, np.broadcast_to(np.eye(3), inv.shape),
+                               atol=1e-3)
+
+    # floored info must reproduce the eigh hard-floor chain exactly
+    info = np.asarray(floored_info_sym3(jnp.asarray(cov), 0.01))
+    assert np.all(np.linalg.eigvalsh(info) > 0)
+    w, v = np.linalg.eigh(cov.astype(np.float64))
+    f = 0.01 * np.maximum(w[:, 2:3], 1e-9)
+    ref = np.einsum("nij,nj,nkj->nik", v, 1.0 / np.maximum(w, f), v)
+    rel = (np.abs(info - ref)
+           / np.linalg.norm(ref, axis=(1, 2), keepdims=True)).max()
+    assert rel < 1e-3, rel

@@ -89,16 +89,17 @@ class LidarOdometry:
             jnp.minimum(1.0, cfg.max_pred_rotation / jnp.maximum(r_n, 1e-9)))
         return se3.exp(xi * scale)
 
-    def _build_fields(self, vmap: VoxelMap):
+    def _build_fields(self, vmap: VoxelMap, center=None):
         """(fine_field, coarse_field_or_None) for the NDT method."""
         cfg = self.config
-        fine = ndt_field(vmap, self.map_spec, cfg.ndt)
+        fine = ndt_field(vmap, self.map_spec, cfg.ndt, center=center)
         coarse = None
         if cfg.pyramid_factor > 1:
             from tpu_slam.mapping.voxel_map import coarse_spec_of, coarsen_map
             cspec = coarse_spec_of(self.map_spec, cfg.pyramid_factor)
             cmap = coarsen_map(vmap, self.map_spec, cfg.pyramid_factor)
-            coarse = ndt_field(cmap, cspec, self._coarse_params())
+            coarse = ndt_field(cmap, cspec, self._coarse_params(),
+                               center=center)
         return fine, coarse
 
     def _coarse_params(self):
@@ -112,7 +113,7 @@ class LidarOdometry:
         cfg = self.config
         if cfg.method == "ndt":
             if field is None:
-                field = self._build_fields(vmap)
+                field = self._build_fields(vmap, center=state.pose[:3, 3])
             fine, coarse = field
             if coarse is not None:
                 from tpu_slam.mapping.voxel_map import coarse_spec_of
@@ -180,7 +181,7 @@ class LidarOdometry:
             # (re)build the cached NDT field(s) only when the map changed
             field = state.field
             if cfg.method == "ndt" and field is None:
-                field = self._build_fields(state.vmap)
+                field = self._build_fields(state.vmap, center=state.pose[:3, 3])
 
             init_T = (state.pose @ self._clamped_delta(state.last_delta)
                       if cfg.use_constant_velocity else state.pose)

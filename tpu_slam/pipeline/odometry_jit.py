@@ -70,7 +70,8 @@ class JitLidarOdometry:
         keys, cnt, ssum, souter = scan_to_voxel_stats(world, self.map_spec)
         vmap = insert_scan_stats(vmap, keys, cnt, ssum, souter,
                                  jnp.float32(0.0))
-        field = ndt_field(vmap, self.map_spec, self.config.ndt)
+        field = ndt_field(vmap, self.map_spec, self.config.ndt,
+                          center=pose[:3, 3])
         return JitOdomState(
             pose=pose, last_delta=jnp.eye(4, dtype=jnp.float32), vmap=vmap,
             field=field, scan_index=jnp.int32(1),
@@ -124,9 +125,9 @@ class JitLidarOdometry:
         cnt = jnp.where(do_insert, cnt, 0.0)
         vmap = insert_scan_stats(state.vmap, keys, cnt, ssum, souter,
                                  state.scan_index.astype(jnp.float32))
-        # field rebuild every step keeps the graph branch-free; the eigh
-        # over map voxels is batched and pipelines with the next dispatch
-        field = ndt_field(vmap, self.map_spec, cfg.ndt)
+        # field rebuild every step keeps the graph branch-free; the dense
+        # window is re-centered on the new pose (see _ndt_field_dense)
+        field = ndt_field(vmap, self.map_spec, cfg.ndt, center=T[:3, 3])
 
         metrics = jnp.stack([
             res.iterations.astype(jnp.float32),

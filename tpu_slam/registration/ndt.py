@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from tpu_slam.core import se3
-from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.core.pointcloud import PAD_COORD, PointCloud
+from tpu_slam.core.sym3 import floored_info_sym3, floored_info_sym3_tri
 from tpu_slam.kernels.voxel_hash import (
     INVALID_KEY,
     VoxelGridSpec,
@@ -40,6 +41,7 @@ from tpu_slam.kernels.voxel_hash import (
 from tpu_slam.mapping.voxel_map import (
     VoxelMap,
     build_dense_lookup,
+    decode_corner,
     neighborhood_moments,
     voxel_covariances,
     voxel_means,
@@ -75,6 +77,10 @@ class NDTParams:
                                      # are index-cost-bound (TPU); by default
                                      # they are only built there. True forces
                                      # building on any backend (CPU tests).
+    window_bits: int = 6             # dense-field window size: 2^window_bits
+                                     # cells per axis, centered on the scan
+                                     # (see _ndt_field_dense). 0 disables the
+                                     # dense build path.
     damping: float = 1e-6
 
 
@@ -113,8 +119,12 @@ class NDTField:
     #             -> 9 indices per point (one per (dx,dy) column).
     # Measured per _ndt_terms pass at 4k pts on v5e: 1.27 ms (lookup tier)
     # -> 0.55 ms (48) -> 0.36 ms (144). Built when the table fits
-    # params.pack_budget_mb; G = 2^(3 dim_bits) rows regardless of occupancy.
+    # params.pack_budget_mb; G = 2^(3 window_bits) rows regardless of
+    # occupancy. When the window is smaller than the map grid, cell 0 of the
+    # table is world cell ``origin_cell`` (dynamic — the window follows the
+    # scan without recompilation).
     nbr_rows: Optional[jax.Array] = None  # (G, 144) or (G, 48) float32
+    origin_cell: Optional[jax.Array] = None  # (3,) int32; None = grid corner
 
 
 @jax.tree_util.register_dataclass
@@ -128,7 +138,8 @@ class NDTResult:
 
 
 def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
-              params: NDTParams = NDTParams()) -> NDTField:
+              params: NDTParams = NDTParams(),
+              center: Optional[jax.Array] = None) -> NDTField:
     """Build the solver-ready NDT field from a voxel map.
 
     With ``use_neighborhood`` (default), each voxel's Gaussian aggregates
@@ -136,7 +147,17 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
     classic NDT. A freshly-inserted scan leaves only a few points per voxel;
     single-voxel Gaussians would fall below min_voxel_count across half the
     map and starve the solver of correspondences.
+
+    ``center`` (optional (3,) world position, traced): where to center the
+    dense field window when the map grid is larger than 2^window_bits cells
+    per axis — pass the current sensor pose in odometry. Defaults to the
+    map's point centroid. Registration then only sees Gaussians inside the
+    window (half-extent ``2^(window_bits-1) * leaf`` around the center),
+    which is the locality a scan-to-map step has anyway.
     """
+    if (_pack_tier(params, min(spec.dim_bits, params.window_bits))
+            and params.use_neighborhood):
+        return _ndt_field_dense(vmap, spec, params, center)
     lookup = None
     if 3 * spec.dim_bits <= params.dense_lookup_max_bits:
         lookup = build_dense_lookup(vmap, spec)
@@ -149,11 +170,7 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
         cov = voxel_covariances(vmap, min_count=params.min_voxel_count,
                                 regularization=0.0)
         valid = vmap.occupied_mask() & (vmap.count >= params.min_voxel_count)
-    evals, evecs = jnp.linalg.eigh(cov)
-    floor = params.evec_floor_ratio * jnp.maximum(evals[:, 2:3], 1e-9)
-    evals_f = jnp.maximum(evals, floor)
-    inv_evals = 1.0 / evals_f
-    info = jnp.einsum("cij,cj,ckj->cik", evecs, inv_evals, evecs)
+    info = floored_info_sym3(cov, params.evec_floor_ratio)
     iu0, iu1 = jnp.triu_indices(3)
     packed = jnp.concatenate([
         means,
@@ -161,42 +178,211 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
         valid[:, None].astype(jnp.float32),
         jnp.zeros((means.shape[0], 6), jnp.float32),
     ], axis=1)
-    nbr_rows = _build_nbr_rows(vmap.keys, packed, spec, params)
     return NDTField(keys=vmap.keys, means=means, info=info, valid=valid,
-                    lookup=lookup, packed=packed, nbr_rows=nbr_rows)
+                    lookup=lookup, packed=packed)
 
 
-def _build_nbr_rows(keys: jax.Array, packed: jax.Array, spec: VoxelGridSpec,
-                    params: NDTParams) -> Optional[jax.Array]:
-    """Neighbor-packed dense row table (see NDTField.nbr_rows), or None.
-
-    Rows are zero where no voxel exists; the valid flag at lane 9 of each
-    16-wide sub-row is then 0, which the probe treats as a miss — so no
-    separate occupancy structure is needed. Neighbors are composed with
-    jnp.roll; rows that wrap across a grid face are masked out at probe
-    time by the per-axis bounds checks, never read.
-    """
-    g = 1 << (3 * spec.dim_bits)
-    budget = params.pack_budget_mb * (1 << 20)
-    if budget <= 0 or g * 48 * 4 > budget:
-        return None
+def _pack_tier(params: NDTParams, wb: int) -> int:
+    """Sub-row count of the neighbor-packed table (9 or 3), or 0 = no pack."""
+    if wb <= 0 or params.window_bits <= 0 or params.pack_budget_mb <= 0:
+        return 0
     if not params.pack_any_backend and jax.default_backend() != "tpu":
-        return None
-    n = spec.cells_per_axis
-    # Dense (G, 16): scatter each occupied voxel's packed row to its cell.
-    # Invalid slots are routed to row G and dropped.
-    safek = jnp.where(keys != INVALID_KEY, keys, g)
-    dense = jnp.zeros((g + 1, 16), jnp.float32).at[safek].set(packed,
-                                                              mode="drop")
-    dense = dense[:g]
-    # (G, 48): [cell-1, cell, cell+1] along z (key-contiguous).
-    zpack = jnp.concatenate([jnp.roll(dense, 1, axis=0), dense,
-                             jnp.roll(dense, -1, axis=0)], axis=1)
-    if g * 144 * 4 > budget:
+        return 0
+    g = 1 << (3 * wb)
+    budget = params.pack_budget_mb * (1 << 20)
+    if g * 144 * 4 <= budget:
+        return 9
+    if g * 48 * 4 <= budget:
+        return 3
+    return 0
+
+
+def _shift0(x: jax.Array, delta: int, axis: int) -> jax.Array:
+    """x shifted so out[i] = x[i + delta] along ``axis``, zero-filled."""
+    if delta == 0:
+        return x
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if delta > 0:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(delta, n)
+        pad[axis] = (0, delta)
+    else:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n + delta)
+        pad[axis] = (-delta, 0)
+    return jnp.pad(x[tuple(sl)], pad)
+
+
+def _nbr_moment_pass(a: jax.Array, axis: int, t: float) -> jax.Array:
+    """One separable 3x3x3 moment-aggregation pass along ``axis``.
+
+    ``a`` is (W, W, W, 10): [count, sum(3), outer upper-tri(6)], moments
+    taken about each cell's own corner. The neighbor at offset d along the
+    axis contributes its moments re-expressed about the receiving cell's
+    corner (displacement t*d, the exact shift rule of
+    voxel_map.neighborhood_moments):
+
+        s'  = s + n d,   o' = o + d s^T + s d^T + n d d^T.
+
+    Composing the three axis passes reproduces the full 27-cell sum exactly.
+    """
+    # channel layout: 0 n, 1..3 s, 4 oxx, 5 oxy, 6 oxz, 7 oyy, 8 oyz, 9 ozz
+    diag = {0: 4, 1: 7, 2: 9}[axis]
+    off = {0: (5, 6), 1: (5, 8), 2: (6, 8)}[axis]       # (a, other) pairs
+    other = {0: (1, 2), 1: (0, 2), 2: (0, 1)}[axis]
+
+    def shifted(delta: int) -> jax.Array:
+        v = _shift0(a, delta, axis)
+        if delta == 0:
+            return v
+        d = t * delta
+        n_ = v[..., 0]
+        s_a = v[..., 1 + axis]
+        out = [v[..., 0]]
+        for c in range(3):
+            out.append(v[..., 1 + c] + (d * n_ if c == axis else 0.0))
+        o = {k: v[..., k] for k in range(4, 10)}
+        o[diag] = o[diag] + 2.0 * d * s_a + n_ * d * d
+        o[off[0]] = o[off[0]] + d * v[..., 1 + other[0]]
+        o[off[1]] = o[off[1]] + d * v[..., 1 + other[1]]
+        return jnp.stack(out + [o[k] for k in range(4, 10)], axis=-1)
+
+    return shifted(-1) + shifted(0) + shifted(1)
+
+
+def _pack_neighbor_rows(rows16: jax.Array, wb: int,
+                        tier: int) -> jax.Array:
+    """(G, 16) dense rows -> neighbor-packed (G, 144) or (G, 48) table.
+
+    Neighbors are composed with jnp.roll on the flattened cell axis; rows
+    that wrap across a grid face are masked out at probe time by the
+    per-axis bounds checks in _gather_nbr_rows, never read.
+    """
+    w = 1 << wb
+    zpack = jnp.concatenate([jnp.roll(rows16, 1, axis=0), rows16,
+                             jnp.roll(rows16, -1, axis=0)], axis=1)
+    if tier == 3:
         return zpack
-    # (G, 144): the z-triples of the dy = -1, 0, +1 columns.
-    return jnp.concatenate([jnp.roll(zpack, n, axis=0), zpack,
-                            jnp.roll(zpack, -n, axis=0)], axis=1)
+    return jnp.concatenate([jnp.roll(zpack, w, axis=0), zpack,
+                            jnp.roll(zpack, -w, axis=0)], axis=1)
+
+
+def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
+                     center: Optional[jax.Array]) -> NDTField:
+    """Dense-window field build: scatter -> separable 27-sum -> pack.
+
+    Replaces the sparse build's per-voxel 27-neighbor gathers (searchsorted
+    or lookup-table probes, 65-650 ms per build on v5e) and the batched eigh
+    (15-80 ms) with dense W^3 array ops: one row scatter, three shift-add
+    moment passes, closed-form floored inverses, and the roll-composed
+    neighbor row packs. Measured ~1-2 ms per build at W=64.
+
+    The window covers 2^window_bits cells per axis. If the map grid is no
+    bigger, the window IS the grid (origin_cell=None, static). Otherwise it
+    is clamped inside the grid around ``center`` (or the map centroid), and
+    Gaussians outside are not part of this field.
+    """
+    b = spec.dim_bits
+    n = spec.cells_per_axis
+    wb = min(b, params.window_bits)
+    w = 1 << wb
+    g = 1 << (3 * wb)
+    tier = _pack_tier(params, wb)
+    leaf = spec.leaf
+    occ = vmap.occupied_mask()
+    keys = vmap.keys
+    gx = (keys >> (2 * b)) & (n - 1)
+    gy = (keys >> b) & (n - 1)
+    gz = keys & (n - 1)
+
+    if wb >= b:
+        c0 = None
+        lx, ly, lz = gx, gy, gz
+        inside = occ
+    else:
+        if center is None:
+            # map centroid: corners weighted by count plus local sums
+            total = jnp.maximum(jnp.sum(jnp.where(occ, vmap.count, 0.0)), 1.0)
+            corners = decode_corner(keys, spec)
+            wsum = jnp.sum(jnp.where(occ[:, None],
+                                     corners * vmap.count[:, None]
+                                     + vmap.sum_pts, 0.0), axis=0)
+            center = wsum / total
+        origin = jnp.asarray(spec.origin, jnp.float32)
+        cc = jnp.floor((jnp.asarray(center, jnp.float32) - origin)
+                       / leaf).astype(jnp.int32)
+        c0 = jnp.clip(cc - w // 2, 0, n - w)
+        lx, ly, lz = gx - c0[0], gy - c0[1], gz - c0[2]
+        inside = (occ & (lx >= 0) & (lx < w) & (ly >= 0) & (ly < w)
+                  & (lz >= 0) & (lz < w))
+
+    lidx = (lx << (2 * wb)) | (ly << wb) | lz
+    lidx = jnp.where(inside, lidx, g)                    # dropped
+
+    # scatter [count, sum(3), outer triu(6), occupied(1)] rows. The triu
+    # components come from slices, not fancy indexing (a (C,2)-index gather
+    # cost 1.5 ms on v5e; slicing is free).
+    so = vmap.sum_outer
+    chan = jnp.concatenate([
+        vmap.count[:, None], vmap.sum_pts,
+        so[:, 0, 0:1], so[:, 0, 1:2], so[:, 0, 2:3],
+        so[:, 1, 1:2], so[:, 1, 2:3], so[:, 2, 2:3],
+        jnp.ones((vmap.capacity, 1), jnp.float32)], axis=1)
+    chan = jnp.where(inside[:, None], chan, 0.0)
+    dm = jnp.zeros((g + 1, 11), jnp.float32).at[lidx].set(chan, mode="drop")
+    dm = dm[:g]
+    occ_center = dm[:, 10]
+    a = dm[:, :10].reshape(w, w, w, 10)
+    for axis in (2, 1, 0):
+        a = _nbr_moment_pass(a, axis, leaf)
+    a = a.reshape(g, 10)
+
+    cnt = a[:, 0]
+    safe = jnp.maximum(cnt, 1.0)
+    mean_local = a[:, 1:4] / safe[:, None]
+    mx, my, mz = mean_local[:, 0], mean_local[:, 1], mean_local[:, 2]
+    inv = 1.0 / safe
+    cov_tri = (a[:, 4] * inv - mx * mx, a[:, 5] * inv - mx * my,
+               a[:, 6] * inv - mx * mz, a[:, 7] * inv - my * my,
+               a[:, 8] * inv - my * mz, a[:, 9] * inv - mz * mz)
+    info_tri = floored_info_sym3_tri(cov_tri, params.evec_floor_ratio)
+    valid = (occ_center > 0.5) & (cnt >= params.min_voxel_count)
+
+    # world-frame means: corner(cell) + local mean
+    ci = jnp.arange(g, dtype=jnp.int32)
+    cell = jnp.stack([(ci >> (2 * wb)) & (w - 1), (ci >> wb) & (w - 1),
+                      ci & (w - 1)], axis=1)
+    if c0 is not None:
+        cell = cell + c0[None, :]
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    mean_world = cell.astype(jnp.float32) * leaf + origin + mean_local
+
+    rows16 = jnp.concatenate(
+        [mean_world] + [t[:, None] for t in info_tri]
+        + [valid[:, None].astype(jnp.float32),
+           jnp.zeros((g, 6), jnp.float32)], axis=1)
+    rows16 = jnp.where(valid[:, None], rows16, 0.0)
+    nbr_rows = _pack_neighbor_rows(rows16, wb, tier)
+
+    # sparse per-slot views for fallback consumers (loop-closure scoring,
+    # map_shard-style code): gather each map slot's row out of the window
+    slot_rows = jnp.take(rows16, jnp.minimum(lidx, g - 1), axis=0)
+    s_valid = inside & (slot_rows[:, 9] > 0.5)
+    s_means = jnp.where(s_valid[:, None], slot_rows[:, 0:3], PAD_COORD)
+    tri = slot_rows[:, 3:9]
+    s_info = jnp.stack([
+        jnp.stack([tri[:, 0], tri[:, 1], tri[:, 2]], -1),
+        jnp.stack([tri[:, 1], tri[:, 3], tri[:, 4]], -1),
+        jnp.stack([tri[:, 2], tri[:, 4], tri[:, 5]], -1)], -2)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    s_info = jnp.where(s_valid[:, None, None], s_info, eye)
+    packed = jnp.concatenate([
+        s_means, tri, s_valid[:, None].astype(jnp.float32),
+        jnp.zeros((vmap.capacity, 6), jnp.float32)], axis=1)
+    return NDTField(keys=keys, means=s_means, info=s_info, valid=s_valid,
+                    lookup=None, packed=packed, nbr_rows=nbr_rows,
+                    origin_cell=c0)
 
 
 def _probe_slots(field: NDTField, nkeys: jax.Array):
@@ -213,35 +399,38 @@ def _probe_slots(field: NDTField, nkeys: jax.Array):
     return pos, hit
 
 
-def _gather_nbr_rows(pts: jax.Array, nbr_rows: jax.Array,
-                     spec: VoxelGridSpec):
+def _gather_nbr_rows(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
     """27-neighborhood packed rows for each point from the dense table.
 
     Returns (P (N, 27, 16) float32, ok (N, 27) bool) with the 27 cells
     ordered (dx, dy, dz) nested, dz fastest — matching the roll order used
-    by _build_nbr_rows. ``ok`` combines per-axis grid bounds (rolled rows
-    that wrapped a face are masked here) with the per-cell valid flag.
+    by _pack_neighbor_rows. ``ok`` combines per-axis window bounds (rolled
+    rows that wrapped a face are masked here) with the per-cell valid flag.
+    Window cell 0 is field.origin_cell (grid corner when None).
     """
+    nbr_rows = field.nbr_rows
     n_pts = pts.shape[0]
-    b = spec.dim_bits
-    n = spec.cells_per_axis
-    g = 1 << (3 * b)
+    g = nbr_rows.shape[0]
+    wb = (g.bit_length() - 1) // 3
+    w = 1 << wb
     cc = cell_coords(pts, spec)                               # (N, 3)
+    if field.origin_cell is not None:
+        cc = cc - field.origin_cell[None, :]
     cx, cy, cz = cc[:, 0], cc[:, 1], cc[:, 2]
-    key = (cx << (2 * b)) | (cy << b) | cz
+    key = (cx << (2 * wb)) | (cy << wb) | cz
     d3 = jnp.array([-1, 0, 1], dtype=jnp.int32)
     if nbr_rows.shape[1] == 144:
-        starts = key[:, None] + d3 * (n * n)                  # (N, 3) dx cols
+        starts = key[:, None] + d3 * (w * w)                  # (N, 3) dx cols
         rows = jnp.take(nbr_rows, jnp.clip(starts, 0, g - 1), axis=0)
         P = rows.reshape(n_pts, 27, 16)                       # (3 dx, 9 dydz)
     else:
-        dxy = (d3[:, None] * (n * n) + d3[None, :] * n).reshape(-1)  # (9,)
+        dxy = (d3[:, None] * (w * w) + d3[None, :] * w).reshape(-1)  # (9,)
         starts = key[:, None] + dxy                           # (N, 9)
         rows = jnp.take(nbr_rows, jnp.clip(starts, 0, g - 1), axis=0)
         P = rows.reshape(n_pts, 27, 16)                       # (9 dxdy, 3 dz)
-    xok = (cx[:, None] + d3 >= 0) & (cx[:, None] + d3 < n)    # (N, 3)
-    yok = (cy[:, None] + d3 >= 0) & (cy[:, None] + d3 < n)
-    zok = (cz[:, None] + d3 >= 0) & (cz[:, None] + d3 < n)
+    xok = (cx[:, None] + d3 >= 0) & (cx[:, None] + d3 < w)    # (N, 3)
+    yok = (cy[:, None] + d3 >= 0) & (cy[:, None] + d3 < w)
+    zok = (cz[:, None] + d3 >= 0) & (cz[:, None] + d3 < w)
     ok = (xok[:, :, None, None] & yok[:, None, :, None]
           & zok[:, None, None, :]).reshape(n_pts, 27)
     return P, ok & (P[..., 9] > 0.5)
@@ -298,7 +487,7 @@ def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
         # Fastest tier: the dense neighbor-packed table. 3 (or 9) gather
         # indices per point fetch the full 27-cell neighborhood as wide
         # rows; validity comes from in-grid bounds + the per-cell flag.
-        P, ok = _gather_nbr_rows(pts, field.nbr_rows, spec)
+        P, ok = _gather_nbr_rows(pts, field, spec)
     elif field.packed is not None:
         qkeys = pack_key(cell_coords(pts, spec), spec)
         nkeys = neighbor_offsets_keys(qkeys, spec)            # (N, 27)
