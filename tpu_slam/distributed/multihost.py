@@ -61,21 +61,32 @@ def heartbeat(mesh, axis_name: str = "data",
     A hung / dead host stalls the psum past ``timeout_s``; the caller then
     triggers checkpoint-based recovery (save latest state, re-init the
     cluster, resume). The collective itself cannot be interrupted mid-call
-    on TPU, so the timeout is enforced by running the probe asynchronously
-    and bounding the host-side wait.
+    on TPU, so the probe runs on a daemon thread and the host-side wait is
+    a bounded ``join``: a dead peer leaves the thread blocked inside the
+    psum forever, the join times out, and the caller gets False instead of
+    hanging with it.
     """
-    from jax.sharding import PartitionSpec as P
     import functools
+    import threading
+
+    from jax.sharding import PartitionSpec as P
 
     @functools.partial(jax.shard_map, mesh=mesh, check_vma=False, in_specs=P(),
                        out_specs=P())
     def probe(x):
         return jax.lax.psum(x, axis_name)
 
-    t0 = time.monotonic()
-    try:
-        out = probe(jnp.ones((mesh.shape[axis_name],), jnp.float32))
-        out.block_until_ready()
-    except Exception:
-        return False
-    return (time.monotonic() - t0) <= timeout_s
+    result = {"ok": False}
+
+    def _run():
+        try:
+            out = probe(jnp.ones((mesh.shape[axis_name],), jnp.float32))
+            out.block_until_ready()
+            result["ok"] = True
+        except Exception:
+            result["ok"] = False
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout=timeout_s)
+    return result["ok"] and not t.is_alive()

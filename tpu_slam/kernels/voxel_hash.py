@@ -58,12 +58,25 @@ class VoxelGridSpec:
         return self.leaf * self.cells_per_axis
 
     @staticmethod
-    def centered(leaf: float, half_extent: float) -> "VoxelGridSpec":
-        """Grid centered on the world origin covering [-half_extent, +half_extent]."""
+    def centered(leaf: float, half_extent: float,
+                 max_bits: int = 10) -> "VoxelGridSpec":
+        """Grid centered on the world origin covering [-half_extent, +half_extent].
+
+        Raises ValueError when the request needs more than ``max_bits`` cells
+        per axis (int32 keys cap the grid at 2^10 per axis): a silently
+        shrunken grid would mask away out-of-range points and report them as
+        misses. City-scale maps at fine leaves should use a scrolling window
+        (re-center the spec origin on the vehicle) or a coarser leaf instead.
+        """
         bits = 1
         while leaf * (1 << bits) < 2.0 * half_extent:
             bits += 1
-        bits = min(bits, 10)
+        if bits > max_bits:
+            raise ValueError(
+                f"grid of half_extent={half_extent} at leaf={leaf} needs "
+                f"2^{bits} cells/axis > the 2^{max_bits} int32-key cap; use a "
+                f"coarser leaf (>= {2.0 * half_extent / (1 << max_bits):.3f}) "
+                f"or a scrolling window centered on the trajectory")
         ext = leaf * (1 << bits)
         return VoxelGridSpec(leaf=leaf, origin=(-ext / 2, -ext / 2, -ext / 2),
                              dim_bits=bits)

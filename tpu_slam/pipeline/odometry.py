@@ -113,7 +113,7 @@ class LidarOdometry:
         cfg = self.config
         if cfg.method == "ndt":
             if field is None:
-                field = self._build_fields(vmap, center=state.pose[:3, 3])
+                field = self._build_fields(vmap, center=init_T[:3, 3])
             fine, coarse = field
             if coarse is not None:
                 from tpu_slam.mapping.voxel_map import coarse_spec_of

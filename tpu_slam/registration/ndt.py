@@ -46,7 +46,6 @@ from tpu_slam.mapping.voxel_map import (
     voxel_covariances,
     voxel_means,
 )
-from tpu_slam.registration.robust import huber_weight
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,7 +80,6 @@ class NDTParams:
                                      # cells per axis, centered on the scan
                                      # (see _ndt_field_dense). 0 disables the
                                      # dense build path.
-    damping: float = 1e-6
 
 
 @jax.tree_util.register_dataclass
