@@ -149,3 +149,48 @@ def test_sharded_ndt_register_recovers_transform():
     err = se3.log(se3.compose(se3.inverse(T_true), res.T))
     assert float(jnp.linalg.norm(err[:3])) < 0.06, np.asarray(res.T)
     assert float(jnp.linalg.norm(err[3:])) < 0.03
+
+
+def test_schur_matches_dense_single_device():
+    from tpu_slam.distributed.schur import optimize_pose_graph_schur
+    rng = np.random.default_rng(3)
+    g, gt = _make_noisy_circle_graph(rng, node_cap=32, edge_cap=64)
+    p = GraphSolveParams(gn_iterations=6, solver="dense")
+    gd, chi_d = optimize_pose_graph(g, p)
+    gs, chi_s = optimize_pose_graph_schur(None, g, p)
+    np.testing.assert_allclose(np.asarray(gs.poses[:24]),
+                               np.asarray(gd.poses[:24]), atol=1e-4)
+    assert abs(float(chi_s) - float(chi_d)) < 1e-4 * max(float(chi_d), 1.0)
+
+
+def test_schur_matches_dense_8dev():
+    from tpu_slam.distributed.schur import optimize_pose_graph_schur
+    mesh = _mesh()
+    rng = np.random.default_rng(4)
+    g, gt = _make_noisy_circle_graph(rng, node_cap=32, edge_cap=64)
+    p = GraphSolveParams(gn_iterations=6, solver="dense")
+    gd, chi_d = optimize_pose_graph(g, p)
+    gs, chi_s = optimize_pose_graph_schur(
+        make_mesh(8, axis_name="graph"), g, p)
+    np.testing.assert_allclose(np.asarray(gs.poses[:24]),
+                               np.asarray(gd.poses[:24]), atol=1e-4)
+    assert abs(float(chi_s) - float(chi_d)) < 1e-4 * max(float(chi_d), 1.0)
+
+
+def test_schur_multiple_loops_and_robust():
+    """Loop edges land mid-range; the robust kernel path also runs."""
+    from tpu_slam.distributed.schur import optimize_pose_graph_schur
+    from tpu_slam.graph.pose_graph import add_edge
+    rng = np.random.default_rng(5)
+    g, gt = _make_noisy_circle_graph(rng, n=24, node_cap=32, edge_cap=64)
+    # extra loop closures at interior positions of several ranges
+    for (i, j) in [(3, 13), (6, 18), (9, 21)]:
+        Z = se3.inverse(gt[i]) @ gt[j]
+        g = add_edge(g, i, j, Z, info=10.0 * jnp.eye(6, dtype=jnp.float32))
+    p = GraphSolveParams(gn_iterations=8, solver="dense",
+                         robust_delta=2.0, robust_kernel="cauchy")
+    gd, chi_d = optimize_pose_graph(g, p)
+    gs, chi_s = optimize_pose_graph_schur(
+        make_mesh(8, axis_name="graph"), g, p)
+    np.testing.assert_allclose(np.asarray(gs.poses[:24]),
+                               np.asarray(gd.poses[:24]), atol=2e-4)
