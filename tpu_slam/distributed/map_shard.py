@@ -17,9 +17,26 @@ chip. Sharding (SURVEY.md §2.3 TP row):
     replicated. One (6,6)+(6,)+scalars all-reduce per LM iteration rides
     ICI.
 
-Neighborhood moments at slab boundaries use the device-local neighbors
-only (an x-boundary voxel sees 18 of its 27 neighbors); a ppermute halo
-exchange of boundary planes is the planned refinement.
+Registration runs on the dense-window fast tier whenever the packed table
+fits (the same neighbor-packed rows as single-chip registration.ndt):
+
+  * every device scatters its slab's voxel moments into the global dense
+    window and one ``psum_scatter`` along x hands each device its owned
+    x-chunk — a bandwidth-optimal re-shard that works for ANY map
+    sharding, not just aligned slabs;
+  * separable y/z moment passes run locally; the x pass needs one plane
+    from each x-neighbor device, exchanged with two ``ppermute``s — the
+    halo exchange that makes neighborhood moments EXACT at chunk
+    boundaries (a boundary voxel sees all 27 neighbors);
+  * Gaussians (closed-form floored sym3 inverses) and the neighbor-packed
+    probe rows are built per chunk, padded with one invalid halo plane per
+    side so points in a neighbor's chunk still probe this device's border
+    Gaussians. Each Gaussian is owned by exactly one device, so the psum
+    of per-device H/b/cost/match terms is the exact global objective.
+
+The pre-window slow path (per-voxel eigh over local slabs, boundary
+voxels seeing 18/27 neighbors) remains only as the fallback when packing
+is disabled or the window does not divide the mesh.
 """
 
 from __future__ import annotations
@@ -35,12 +52,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tpu_slam.core import se3
 from tpu_slam.core.pointcloud import PointCloud
 from tpu_slam.kernels.voxel_hash import INVALID_KEY, VoxelGridSpec
-from tpu_slam.mapping.voxel_map import (VoxelMap, empty_map,
+from tpu_slam.mapping.voxel_map import (VoxelMap, decode_corner, empty_map,
                                         insert_scan_stats,
                                         neighborhood_moments,
                                         scan_to_voxel_stats, voxel_means,
                                         voxel_covariances)
-from tpu_slam.registration.ndt import NDTField, NDTParams, NDTResult, _ndt_terms
+from tpu_slam.core.sym3 import floored_info_sym3_tri
+from tpu_slam.registration.ndt import (NDTField, NDTParams, NDTResult,
+                                       _ndt_terms, _nbr_moment_pass,
+                                       _pack_neighbor_rows, _pack_tier)
 
 
 @jax.tree_util.register_dataclass
@@ -141,20 +161,146 @@ def _local_field(local: VoxelMap, spec: VoxelGridSpec,
     return NDTField(keys=local.keys, means=means, info=info, valid=valid)
 
 
+def _window_field_local(local: VoxelMap, spec: VoxelGridSpec,
+                        params: NDTParams, center: Optional[jax.Array],
+                        n_shards: int, axis_name: str) -> NDTField:
+    """Per-device dense-window NDT field with exact halo'd moments.
+
+    Runs INSIDE shard_map. Device d ends up owning x-chunk d of the global
+    2^window_bits window: one psum_scatter re-shards the raw moments, two
+    ppermutes exchange the boundary planes the x moment pass needs, and the
+    packed probe table covers the chunk plus one invalid halo plane per
+    side (see the module docstring). Mirrors registration.ndt's
+    _ndt_field_dense math exactly so sharded == single-chip to float
+    tolerance, including chunk-boundary voxels.
+    """
+    b = spec.dim_bits
+    n = spec.cells_per_axis
+    wb = min(b, params.window_bits)
+    w = 1 << wb
+    s_chunk = w // n_shards
+    tier = _pack_tier(params, wb)
+    leaf = spec.leaf
+    occ = local.occupied_mask()
+    keys = local.keys
+    gx = (keys >> (2 * b)) & (n - 1)
+    gy = (keys >> b) & (n - 1)
+    gz = keys & (n - 1)
+
+    if wb >= b:
+        c0 = jnp.zeros((3,), jnp.int32)
+    else:
+        if center is None:
+            total = jax.lax.psum(
+                jnp.sum(jnp.where(occ, local.count, 0.0)), axis_name)
+            corners = decode_corner(keys, spec)
+            wsum = jax.lax.psum(
+                jnp.sum(jnp.where(occ[:, None],
+                                  corners * local.count[:, None]
+                                  + local.sum_pts, 0.0), axis=0), axis_name)
+            center = wsum / jnp.maximum(total, 1.0)
+        origin = jnp.asarray(spec.origin, jnp.float32)
+        cc = jnp.floor((jnp.asarray(center, jnp.float32) - origin)
+                       / leaf).astype(jnp.int32)
+        c0 = jnp.clip(cc - w // 2, 0, n - w)
+
+    lx, ly, lz = gx - c0[0], gy - c0[1], gz - c0[2]
+    inside = (occ & (lx >= 0) & (lx < w) & (ly >= 0) & (ly < w)
+              & (lz >= 0) & (lz < w))
+    g_full = w * w * w
+    lidx = (lx * w + ly) * w + lz
+    lidx = jnp.where(inside, lidx, g_full)
+
+    so = local.sum_outer
+    chan = jnp.concatenate([
+        local.count[:, None], local.sum_pts,
+        so[:, 0, 0:1], so[:, 0, 1:2], so[:, 0, 2:3],
+        so[:, 1, 1:2], so[:, 1, 2:3], so[:, 2, 2:3],
+        jnp.ones((local.capacity, 1), jnp.float32)], axis=1)
+    chan = jnp.where(inside[:, None], chan, 0.0)
+    dm = jnp.zeros((g_full + 1, 11), jnp.float32).at[lidx].set(
+        chan, mode="drop")[:g_full]
+    dm = dm.reshape(w, w, w, 11)
+    # re-shard: each device receives the x-chunk it owns, merged over all
+    # devices' scatters (slabs are disjoint, so the sum is a merge)
+    dm = jax.lax.psum_scatter(dm, axis_name, scatter_dimension=0,
+                              tiled=True)                   # (S, w, w, 11)
+    occ_c = dm[..., 10]
+    a = dm[..., :10]
+    a = _nbr_moment_pass(a, 2, leaf)
+    a = _nbr_moment_pass(a, 1, leaf)
+    # halo exchange: the x pass needs the y/z-aggregated boundary plane of
+    # each x-neighbor chunk; edge devices receive zeros (= grid boundary)
+    left = jax.lax.ppermute(a[-1], axis_name,
+                            [(i, i + 1) for i in range(n_shards - 1)])
+    right = jax.lax.ppermute(a[0], axis_name,
+                             [(i + 1, i) for i in range(n_shards - 1)])
+    ap = jnp.concatenate([left[None], a, right[None]], axis=0)
+    ap = _nbr_moment_pass(ap, 0, leaf)
+    agg = ap[1:-1].reshape(s_chunk * w * w, 10)             # exact 27-sums
+
+    cnt = agg[:, 0]
+    safe = jnp.maximum(cnt, 1.0)
+    mean_local = agg[:, 1:4] / safe[:, None]
+    mx, my, mz = mean_local[:, 0], mean_local[:, 1], mean_local[:, 2]
+    inv = 1.0 / safe
+    cov_tri = (agg[:, 4] * inv - mx * mx, agg[:, 5] * inv - mx * my,
+               agg[:, 6] * inv - mx * mz, agg[:, 7] * inv - my * my,
+               agg[:, 8] * inv - my * mz, agg[:, 9] * inv - mz * mz)
+    info_tri = floored_info_sym3_tri(cov_tri, params.evec_floor_ratio)
+    valid = (occ_c.reshape(-1) > 0.5) & (cnt >= params.min_voxel_count)
+
+    d = jax.lax.axis_index(axis_name)
+    ci = jnp.arange(s_chunk * w * w, dtype=jnp.int32)
+    cell = jnp.stack([ci // (w * w) + c0[0] + d * s_chunk,
+                      (ci // w) % w + c0[1],
+                      ci % w + c0[2]], axis=1)
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    mean_world = cell.astype(jnp.float32) * leaf + origin + mean_local
+
+    rows16 = jnp.concatenate(
+        [mean_world] + [t[:, None] for t in info_tri]
+        + [valid[:, None].astype(jnp.float32),
+           jnp.zeros((s_chunk * w * w, 6), jnp.float32)], axis=1)
+    rows16 = jnp.where(valid[:, None], rows16, 0.0)
+    # pad one invalid halo plane per side: points whose center cell is in a
+    # neighbor's chunk still probe this device's border Gaussians at dx=+-1
+    rows16 = jnp.concatenate([
+        jnp.zeros((w * w, 16), jnp.float32),
+        rows16,
+        jnp.zeros((w * w, 16), jnp.float32)], axis=0)
+    nbr_rows = _pack_neighbor_rows(rows16, (s_chunk + 2, w, w), tier)
+    origin_cell = jnp.stack([c0[0] + d * s_chunk - 1, c0[1], c0[2]])
+    return NDTField(keys=local.keys, means=jnp.zeros((1, 3), jnp.float32),
+                    info=jnp.zeros((1, 3, 3), jnp.float32),
+                    valid=jnp.zeros((1,), bool), nbr_rows=nbr_rows,
+                    origin_cell=origin_cell,
+                    window_dims=(s_chunk + 2, w, w))
+
+
 def ndt_register_sharded(mesh: Mesh, source: PointCloud,
                          smap: ShardedVoxelMap, spec: VoxelGridSpec,
                          init_T: Optional[jax.Array] = None,
                          params: NDTParams = NDTParams(),
-                         axis_name: str = "data") -> NDTResult:
+                         axis_name: str = "data",
+                         center: Optional[jax.Array] = None) -> NDTResult:
     """NDT registration against the sharded map.
 
     The source cloud is replicated (one scan is small); each device forms
-    partial H/b/cost over its slab's Gaussians; psum combines; the LM loop
-    runs in lockstep on every device.
+    partial H/b/cost over its owned Gaussians; psum combines; the LM loop
+    runs in lockstep on every device. With the packed window tier active
+    (default on TPU; set pack_any_backend for CPU tests) the field is the
+    halo'd dense window of _window_field_local — bit-comparable to the
+    single-chip fast tier. The matched fraction is exact: the per-point
+    indicator is psum'd so a point straddling chunks counts once.
     """
     if init_T is None:
         init_T = jnp.eye(4, dtype=source.points.dtype)
     src = source.sanitize()
+    n_shards = mesh.shape[axis_name]
+    wb = min(spec.dim_bits, params.window_bits)
+    use_window = (params.use_neighborhood and _pack_tier(params, wb) > 0
+                  and (1 << wb) % n_shards == 0)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, check_vma=False,
@@ -164,18 +310,24 @@ def ndt_register_sharded(mesh: Mesh, source: PointCloud,
     def solve(k_l, c_l, s_l, o_l, st_l, pts, mask, T0):
         local = VoxelMap(keys=k_l[0], count=c_l[0], sum_pts=s_l[0],
                          sum_outer=o_l[0], stamp=st_l[0])
-        field = _local_field(local, spec, params)
+        if use_window:
+            field = _window_field_local(local, spec, params, center,
+                                        n_shards, axis_name)
+        else:
+            field = _local_field(local, spec, params)
         cloud = PointCloud(points=pts, mask=mask)
+        n_src = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
 
         def terms(T, gamma):
-            H, b, cost, frac = _ndt_terms(cloud, T, field, spec, params,
-                                          gamma)
+            H, b, cost, match = _ndt_terms(cloud, T, field, spec, params,
+                                           gamma, per_point_match=True)
             H = jax.lax.psum(H, axis_name)
             b = jax.lax.psum(b, axis_name)
             cost = jax.lax.psum(cost, axis_name)
-            # frac: fraction of source points matched on ANY device —
-            # psum of per-device indicator overcounts; use max as a bound.
-            frac = jax.lax.pmax(frac, axis_name)
+            # exact matched fraction: a point gating on several shards
+            # (its 27-neighborhood straddles a chunk boundary) counts once
+            match = jax.lax.psum(match, axis_name)
+            frac = jnp.sum(jnp.minimum(match, 1.0)) / n_src
             return H, b, cost, frac
 
         def lm_solve(T00, gamma, max_iters, tol):

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +123,12 @@ class NDTField:
     # scan without recompilation).
     nbr_rows: Optional[jax.Array] = None  # (G, 144) or (G, 48) float32
     origin_cell: Optional[jax.Array] = None  # (3,) int32; None = grid corner
+    # Static window shape (Wx, Wy, Wz) of nbr_rows. None = cube inferred
+    # from the row count (the single-chip build). The sharded build uses
+    # rectangular windows: each device owns an x-chunk of the global window
+    # padded with one halo plane per side (distributed/map_shard.py).
+    window_dims: Optional[Tuple[int, int, int]] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -249,21 +255,23 @@ def _nbr_moment_pass(a: jax.Array, axis: int, t: float) -> jax.Array:
     return shifted(-1) + shifted(0) + shifted(1)
 
 
-def _pack_neighbor_rows(rows16: jax.Array, wb: int,
+def _pack_neighbor_rows(rows16: jax.Array, dims: Tuple[int, int, int],
                         tier: int) -> jax.Array:
     """(G, 16) dense rows -> neighbor-packed (G, 144) or (G, 48) table.
 
-    Neighbors are composed with jnp.roll on the flattened cell axis; rows
-    that wrap across a grid face are masked out at probe time by the
-    per-axis bounds checks in _gather_nbr_rows, never read.
+    ``dims`` = (Wx, Wy, Wz) window shape of the x-major flattened rows
+    (cell index = (x*Wy + y)*Wz + z). Neighbors are composed with jnp.roll
+    on the flattened cell axis; rows that wrap across a window face are
+    masked out at probe time by the per-axis bounds checks in
+    _gather_nbr_rows, never read.
     """
-    w = 1 << wb
+    _, _, wz = dims
     zpack = jnp.concatenate([jnp.roll(rows16, 1, axis=0), rows16,
                              jnp.roll(rows16, -1, axis=0)], axis=1)
     if tier == 3:
         return zpack
-    return jnp.concatenate([jnp.roll(zpack, w, axis=0), zpack,
-                            jnp.roll(zpack, -w, axis=0)], axis=1)
+    return jnp.concatenate([jnp.roll(zpack, wz, axis=0), zpack,
+                            jnp.roll(zpack, -wz, axis=0)], axis=1)
 
 
 def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
@@ -361,7 +369,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
         + [valid[:, None].astype(jnp.float32),
            jnp.zeros((g, 6), jnp.float32)], axis=1)
     rows16 = jnp.where(valid[:, None], rows16, 0.0)
-    nbr_rows = _pack_neighbor_rows(rows16, wb, tier)
+    nbr_rows = _pack_neighbor_rows(rows16, (w, w, w), tier)
 
     # sparse per-slot views for fallback consumers (loop-closure scoring,
     # map_shard-style code): gather each map slot's row out of the window
@@ -380,7 +388,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
         jnp.zeros((vmap.capacity, 6), jnp.float32)], axis=1)
     return NDTField(keys=keys, means=s_means, info=s_info, valid=s_valid,
                     lookup=None, packed=packed, nbr_rows=nbr_rows,
-                    origin_cell=c0)
+                    origin_cell=c0, window_dims=(w, w, w))
 
 
 def _probe_slots(field: NDTField, nkeys: jax.Array):
@@ -409,26 +417,29 @@ def _gather_nbr_rows(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
     nbr_rows = field.nbr_rows
     n_pts = pts.shape[0]
     g = nbr_rows.shape[0]
-    wb = (g.bit_length() - 1) // 3
-    w = 1 << wb
+    if field.window_dims is not None:
+        wx, wy, wz = field.window_dims
+    else:
+        wb = (g.bit_length() - 1) // 3
+        wx = wy = wz = 1 << wb
     cc = cell_coords(pts, spec)                               # (N, 3)
     if field.origin_cell is not None:
         cc = cc - field.origin_cell[None, :]
     cx, cy, cz = cc[:, 0], cc[:, 1], cc[:, 2]
-    key = (cx << (2 * wb)) | (cy << wb) | cz
+    key = (cx * wy + cy) * wz + cz
     d3 = jnp.array([-1, 0, 1], dtype=jnp.int32)
     if nbr_rows.shape[1] == 144:
-        starts = key[:, None] + d3 * (w * w)                  # (N, 3) dx cols
+        starts = key[:, None] + d3 * (wy * wz)                # (N, 3) dx cols
         rows = jnp.take(nbr_rows, jnp.clip(starts, 0, g - 1), axis=0)
         P = rows.reshape(n_pts, 27, 16)                       # (3 dx, 9 dydz)
     else:
-        dxy = (d3[:, None] * (w * w) + d3[None, :] * w).reshape(-1)  # (9,)
+        dxy = (d3[:, None] * (wy * wz) + d3[None, :] * wz).reshape(-1)  # (9,)
         starts = key[:, None] + dxy                           # (N, 9)
         rows = jnp.take(nbr_rows, jnp.clip(starts, 0, g - 1), axis=0)
         P = rows.reshape(n_pts, 27, 16)                       # (9 dxdy, 3 dz)
-    xok = (cx[:, None] + d3 >= 0) & (cx[:, None] + d3 < w)    # (N, 3)
-    yok = (cy[:, None] + d3 >= 0) & (cy[:, None] + d3 < w)
-    zok = (cz[:, None] + d3 >= 0) & (cz[:, None] + d3 < w)
+    xok = (cx[:, None] + d3 >= 0) & (cx[:, None] + d3 < wx)   # (N, 3)
+    yok = (cy[:, None] + d3 >= 0) & (cy[:, None] + d3 < wy)
+    zok = (cz[:, None] + d3 >= 0) & (cz[:, None] + d3 < wz)
     ok = (xok[:, :, None, None] & yok[:, None, :, None]
           & zok[:, None, None, :]).reshape(n_pts, 27)
     return P, ok & (P[..., 9] > 0.5)
@@ -462,7 +473,7 @@ def _ndt_correspond(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
 def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
                spec: VoxelGridSpec, params: "NDTParams",
                gamma: Optional[jax.Array] = None,
-               isotropic: bool = False):
+               isotropic: bool = False, per_point_match: bool = False):
     """Smooth NDT objective + GN terms at pose T, summed over ALL valid
     Gaussians in each point's 27-neighborhood.
 
@@ -563,7 +574,13 @@ def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
     b = jnp.einsum("nia,ni->a", J, y)                         # (6,)
 
     cost = -jnp.sum(s)
-    frac = jnp.sum(jnp.any(gate, axis=1).astype(pts.dtype)) / jnp.maximum(
+    matched = jnp.any(gate, axis=1)
+    if per_point_match:
+        # sharded registration: each device sees only its owned Gaussians;
+        # the per-point indicator is psum'd so the matched fraction counts
+        # a point once no matter how many shards gated it
+        return H, b, cost, matched.astype(pts.dtype)
+    frac = jnp.sum(matched.astype(pts.dtype)) / jnp.maximum(
         jnp.sum(src.mask.astype(pts.dtype)), 1.0)
     return H, b, cost, frac
 
