@@ -8,7 +8,8 @@ from tpu_slam.core import se3
 from tpu_slam.graph.loop_closure import (LoopClosureParams, propose_candidates,
                                          verify_candidates)
 from tpu_slam.graph.pose_graph import (GraphSolveParams, add_edge, add_node,
-                                       empty_graph, graph_error,
+                                       drop_node_prefix, empty_graph,
+                                       graph_error, n_edges,
                                        optimize_pose_graph)
 
 
@@ -184,3 +185,30 @@ def test_robust_kernel_rejects_bad_loop():
         g, GraphSolveParams(gn_iterations=12, robust_delta=0.3))
     clean, _ = optimize_pose_graph(g, GraphSolveParams(gn_iterations=12))
     assert _ate(clean_r, gt, 24) < 1.5 * _ate(clean, gt, 24) + 0.02
+
+
+def test_drop_node_prefix_sliding_window():
+    """Fixed-lag eviction: nodes shift, edges remap/repack, solve still works."""
+    rng = np.random.default_rng(6)
+    g, gt = _make_noisy_circle_graph(rng, with_loop=True)
+    n0, e0 = int(g.n_nodes), n_edges(g)
+    m = 5
+    g2 = drop_node_prefix(g, m)
+    assert int(g2.n_nodes) == n0 - m
+    # poses shifted
+    np.testing.assert_allclose(np.asarray(g2.poses[: n0 - m]),
+                               np.asarray(g.poses[m:n0]))
+    # every surviving edge references live nodes and matches an original
+    ei, ej = np.asarray(g2.edge_i), np.asarray(g2.edge_j)
+    msk = np.asarray(g2.edge_mask)
+    assert msk.sum() < e0                    # edges into the prefix dropped
+    assert (ei[msk] >= 0).all() and (ej[msk] < n0 - m).all()
+    # edges stay packed in a prefix so add_edge appends correctly
+    k = int(msk.sum())
+    assert msk[:k].all() and not msk[k:].any()
+    g3 = add_edge(g2, 0, 1, jnp.eye(4, dtype=jnp.float32))
+    assert n_edges(g3) == k + 1
+    # the shrunk graph still optimizes (gauge re-anchored at new node 0)
+    g4, chi = optimize_pose_graph(g3, GraphSolveParams(gn_iterations=6))
+    assert np.isfinite(float(chi))
+    assert np.isfinite(np.asarray(g4.poses)).all()

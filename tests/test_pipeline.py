@@ -88,7 +88,8 @@ def _slam_cfg(**kw):
             min_matched_fraction=0.5, max_error=0.05,
             icp=ICPParams(max_iterations=25, max_corr_dist=1.0,
                           huber_delta=0.3, nn_impl="xla")),
-        graph=GraphSolveParams(gn_iterations=6),
+        graph=GraphSolveParams(gn_iterations=6, robust_delta=2.0,
+                               robust_kernel="cauchy"),
         edge_capacity=256,
         **kw,
     )
@@ -143,3 +144,89 @@ def test_metrics_ate_alignment():
     est = np.einsum("ij,njk->nik", offset, gt)
     assert ate_rmse(est, gt, align=True) < 1e-5
     assert ate_rmse(est, gt, align=False) > 1.0
+
+
+def test_slam_sliding_window_eviction():
+    """Keyframe capacity fills mid-run: the fixed-lag window evicts instead
+    of raising (round-1 weak #6) and the run stays sane."""
+    clouds, gt = _sequence(n_poses=30, radius=2.5, n_azimuth=240,
+                           arc_fraction=0.75)
+    cfg = dataclasses.replace(_slam_cfg(), keyframe_capacity=8,
+                              keyframe_rotation=10.0,  # force translation kf
+                              keyframe_translation=0.3)
+    slam = SLAMSystem(cfg)
+    poses, state = slam.run(clouds, init_pose=jnp.asarray(gt[0], jnp.float32))
+    assert state.n_evictions > 0
+    assert state.n_keyframes <= cfg.keyframe_capacity
+    # full trajectory = archive + live window, in order
+    assert len(state.archived_poses) == state.n_evictions
+    assert np.isfinite(np.asarray(state.graph.poses)).all()
+    assert np.isfinite(poses).all()
+    ate = ate_rmse(poses, gt, align=False)
+    assert ate < 0.3, ate
+
+
+def test_slam_survives_wrong_loop():
+    """Regression (round-1 weak #8): with the default robust graph config a
+    wrong accepted closure must not fold the trajectory."""
+    from tpu_slam.graph.pose_graph import add_edge
+
+    clouds, gt = _sequence(n_poses=40, radius=2.5, n_azimuth=240,
+                           arc_fraction=1.0)
+    cfg = _slam_cfg()
+    slam = SLAMSystem(cfg)
+    state = slam.init_state(jnp.asarray(gt[0], jnp.float32))
+    poses = []
+    injected = False
+    for cloud in clouds:
+        state, _ = slam.step(state, cloud)
+        if not injected and state.n_keyframes >= 20:
+            # a gross wrong closure between unrelated keyframes, at loop
+            # strength — takes effect at the next graph optimization
+            bad_Z = se3.exp(jnp.array([2.0, -1.5, 0.8, 0.4, 0.3, 0.9],
+                                      jnp.float32))
+            state = dataclasses.replace(
+                state, graph=add_edge(
+                    state.graph, 2, 17, bad_Z,
+                    info=cfg.loop_edge_info
+                    * jnp.eye(6, dtype=jnp.float32)))
+            injected = True
+        poses.append(np.asarray(state.odom.pose))
+    assert injected and state.n_loop_closures > 0  # optimizer did run
+    ate = ate_rmse(np.stack(poses), gt, align=False)
+    assert ate < 0.15, ate
+
+
+def test_rebuild_map_batched_matches_sequential():
+    """One-dispatch map rebuild == the per-keyframe insert loop."""
+    from tpu_slam.mapping.voxel_map import empty_map, insert_cloud
+    from tpu_slam.pipeline.slam import _rebuild_map_batched
+    from tpu_slam.kernels.voxel_hash import INVALID_KEY
+
+    clouds, gt = _sequence(n_poses=4)
+    cfg = _slam_cfg()
+    slam = SLAMSystem(cfg)
+    state = slam.init_state(jnp.asarray(gt[0], jnp.float32))
+    for c in clouds:
+        state, _ = slam.step(state, c)
+    n = state.n_keyframes
+    assert n >= 2
+    spec = cfg.odometry.map_spec()
+
+    batched = _rebuild_map_batched(state.graph.poses, state.kf_points,
+                                   state.kf_mask, jnp.int32(n), spec=spec,
+                                   capacity=cfg.odometry.map_capacity)
+    seq = empty_map(cfg.odometry.map_capacity)
+    for k in range(n):
+        cloud = PointCloud(points=state.kf_points[k], mask=state.kf_mask[k])
+        seq = insert_cloud(seq, cloud.transform(state.graph.poses[k]), spec,
+                           stamp=float(n))
+
+    kb = np.sort(np.asarray(batched.keys))
+    ks = np.sort(np.asarray(seq.keys))
+    np.testing.assert_array_equal(kb, ks)
+    # per-voxel point mass identical (sum over voxels of |count| diff)
+    ob = np.argsort(np.asarray(batched.keys), kind="stable")
+    os_ = np.argsort(np.asarray(seq.keys), kind="stable")
+    np.testing.assert_allclose(np.asarray(batched.count)[ob],
+                               np.asarray(seq.count)[os_], rtol=1e-5)

@@ -301,10 +301,50 @@ def add_node(graph: PoseGraph, pose: jax.Array) -> Tuple[PoseGraph, int]:
                                n_nodes=jnp.int32(idx + 1)), idx
 
 
+def n_edges(graph: PoseGraph) -> int:
+    """Number of live edges (edges are always packed in a prefix)."""
+    return int(jnp.sum(graph.edge_mask.astype(jnp.int32)))
+
+
+def drop_node_prefix(graph: PoseGraph, m: int) -> PoseGraph:
+    """Drop the first ``m`` nodes — sliding-window eviction (host-side).
+
+    Surviving nodes shift down by m; edges touching a dropped node are
+    removed and the rest repacked into a prefix (``add_edge`` appends at the
+    packed count). Dropped edges are NOT marginalized into a dense prior —
+    the gauge prior on the new node 0 anchors the window at its current
+    optimized pose, keeping the live trajectory consistent at the cost of
+    forgetting old constraints (the standard fixed-lag approximation
+    without marginals; the evicted poses should be exported by the caller
+    before dropping).
+    """
+    import numpy as np
+    n = int(graph.n_nodes)
+    if not 0 < m < n:
+        raise ValueError(f"need 0 < m < n_nodes, got m={m}, n={n}")
+    ei = np.asarray(graph.edge_i)
+    ej = np.asarray(graph.edge_j)
+    keep = np.asarray(graph.edge_mask) & (ei >= m) & (ej >= m)
+    order = np.argsort(~keep, kind="stable")          # kept edges first
+    shift = np.where(keep[order], m, 0).astype(np.int32)
+    order_j = jnp.asarray(order)
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=graph.poses.dtype), (m, 4, 4))
+    return dataclasses.replace(
+        graph,
+        poses=jnp.concatenate([graph.poses[m:], eye]),
+        n_nodes=jnp.int32(n - m),
+        edge_i=jnp.asarray(ei[order] - shift),
+        edge_j=jnp.asarray(ej[order] - shift),
+        edge_T=jnp.take(graph.edge_T, order_j, axis=0),
+        edge_info=jnp.take(graph.edge_info, order_j, axis=0),
+        edge_mask=jnp.asarray(keep[order]),
+    )
+
+
 def add_edge(graph: PoseGraph, i: int, j: int, Z: jax.Array,
              info: Optional[jax.Array] = None) -> PoseGraph:
     """Append an edge with measurement Z = T_i^-1 T_j (host-side)."""
-    e = int(jnp.sum(graph.edge_mask.astype(jnp.int32)))
+    e = n_edges(graph)
     if e >= graph.edge_capacity:
         raise ValueError(f"edge capacity {graph.edge_capacity} exhausted")
     if info is None:

@@ -25,7 +25,7 @@ from tpu_slam.mapping.voxel_map import VoxelMap
 from tpu_slam.pipeline.odometry import OdometryState
 from tpu_slam.pipeline.slam import SLAMState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2 adds the sliding-window archive (v1 loads fine)
 
 
 def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
@@ -48,6 +48,9 @@ def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
         "kf_points": np.asarray(state.kf_points),
         "kf_mask": np.asarray(state.kf_mask),
         "last_kf_pose": np.asarray(state.last_kf_pose),
+        "archived_poses": (np.stack(state.archived_poses)
+                           if state.archived_poses
+                           else np.zeros((0, 4, 4), np.float32)),
     }
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -57,6 +60,7 @@ def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
         "n_nodes": int(state.graph.n_nodes),
         "n_keyframes": int(state.n_keyframes),
         "n_loop_closures": int(state.n_loop_closures),
+        "n_evictions": int(state.n_evictions),
     }
     np.savez_compressed(path, manifest=json.dumps(manifest), **arrays)
     return path
@@ -66,7 +70,7 @@ def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
     """Load a checkpoint; returns (SLAMState, manifest dict)."""
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
-        if manifest["format_version"] != _FORMAT_VERSION:
+        if manifest["format_version"] not in (1, _FORMAT_VERSION):
             raise ValueError(
                 f"checkpoint format {manifest['format_version']} "
                 f"!= supported {_FORMAT_VERSION}")
@@ -100,5 +104,8 @@ def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
             n_keyframes=manifest["n_keyframes"],
             last_kf_pose=jnp.asarray(z["last_kf_pose"]),
             n_loop_closures=manifest["n_loop_closures"],
+            archived_poses=([a for a in z["archived_poses"]]
+                            if "archived_poses" in z.files else []),
+            n_evictions=manifest.get("n_evictions", 0),
         )
     return state, manifest

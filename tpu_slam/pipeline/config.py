@@ -75,11 +75,27 @@ class SLAMConfig:
     keyframe_rotation: float = 0.3      # ... or this rotation (rad)
     keyframe_capacity: int = 512
     keyframe_cloud_capacity: int = 8192  # stored downsampled points per kf
+    window_evict_fraction: float = 0.25  # fixed-lag sliding window: when the
+                                        # keyframe or edge capacity fills,
+                                        # this fraction of the OLDEST
+                                        # keyframes is evicted (their poses
+                                        # are exported to the archive first)
+                                        # instead of raising
 
     # Loop closure / graph
     loop_every: int = 5                 # run detection every k keyframes
     loop: LoopClosureParams = LoopClosureParams()
-    graph: GraphSolveParams = GraphSolveParams(gn_iterations=8)
+    # Robust (redescending Cauchy) kernel on by default: one wrong accepted
+    # closure must not fold the trajectory (wrong-loop regression test in
+    # tests/test_pipeline.py)
+    graph: GraphSolveParams = GraphSolveParams(gn_iterations=8,
+                                               robust_delta=2.0,
+                                               robust_kernel="cauchy")
     edge_capacity: int = 2048
     odom_edge_info: float = 100.0       # information weight of odometry edges
+    loop_edge_info: float = 25.0        # loop-closure edges get LESS weight
+                                        # than odometry: a verified-but-wrong
+                                        # closure then cannot out-vote the
+                                        # odometry chain before the robust
+                                        # kernel cuts it
     rebuild_map_after_loop: bool = True

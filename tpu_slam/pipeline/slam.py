@@ -11,6 +11,7 @@ optimized keyframe poses.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -21,7 +22,8 @@ from tpu_slam.core import se3
 from tpu_slam.core.pointcloud import PAD_COORD, PointCloud
 from tpu_slam.graph.loop_closure import propose_candidates, verify_candidates
 from tpu_slam.graph.pose_graph import (PoseGraph, add_edge, add_node,
-                                       empty_graph, optimize_pose_graph)
+                                       drop_node_prefix, empty_graph,
+                                       n_edges, optimize_pose_graph)
 from tpu_slam.kernels.downsample import voxel_downsample
 from tpu_slam.mapping.voxel_map import empty_map, insert_cloud
 from tpu_slam.pipeline.config import SLAMConfig
@@ -40,6 +42,26 @@ class SLAMState:
     n_keyframes: int
     last_kf_pose: jax.Array    # (4, 4) pose of the newest keyframe
     n_loop_closures: int = 0
+    # poses of keyframes evicted by the fixed-lag sliding window, in
+    # trajectory order (host list of (4, 4) arrays); full trajectory =
+    # archived_poses + graph.poses[:n_keyframes]
+    archived_poses: List[np.ndarray] = dataclasses.field(
+        default_factory=list)
+    n_evictions: int = 0
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "capacity"))
+def _rebuild_map_batched(poses, kf_points, kf_mask, n, *, spec, capacity):
+    """Map rebuild from keyframes in one jitted dispatch (see _rebuild_map)."""
+    K, P = kf_points.shape[:2]
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    world = jnp.einsum("kij,kpj->kpi", R, kf_points) + t[:, None, :]
+    live = kf_mask & (jnp.arange(K, dtype=jnp.int32)[:, None] < n)
+    flat = PointCloud(points=world.reshape(K * P, 3),
+                      mask=live.reshape(K * P))
+    return insert_cloud(empty_map(capacity), flat, spec,
+                        stamp=n.astype(jnp.float32))
 
 
 class SLAMSystem:
@@ -75,12 +97,39 @@ class SLAMSystem:
         return (t >= self.config.keyframe_translation
                 or r >= self.config.keyframe_rotation)
 
+    def _slide_window(self, state: SLAMState) -> SLAMState:
+        """Fixed-lag eviction: archive + drop the oldest keyframes.
+
+        Runs when the keyframe or edge capacity fills (instead of the
+        round-1 ``raise``). Evicted keyframe poses go to
+        ``state.archived_poses`` so the full trajectory stays recoverable;
+        the graph window is re-anchored at its (optimized) first surviving
+        pose by the gauge prior.
+        """
+        cfg = self.config
+        n = state.n_keyframes
+        m = max(1, min(n - 2, int(round(cfg.keyframe_capacity
+                                        * cfg.window_evict_fraction))))
+        archived = state.archived_poses + [
+            np.asarray(state.graph.poses[k]) for k in range(m)]
+        graph = drop_node_prefix(state.graph, m)
+        pad_pts = jnp.full((m,) + state.kf_points.shape[1:], PAD_COORD,
+                           state.kf_points.dtype)
+        pad_msk = jnp.zeros((m,) + state.kf_mask.shape[1:], bool)
+        return dataclasses.replace(
+            state, graph=graph,
+            kf_points=jnp.concatenate([state.kf_points[m:], pad_pts]),
+            kf_mask=jnp.concatenate([state.kf_mask[m:], pad_msk]),
+            n_keyframes=n - m, archived_poses=archived,
+            n_evictions=state.n_evictions + m)
+
     def _store_keyframe(self, state: SLAMState, scan_ds: PointCloud
                         ) -> SLAMState:
         cfg = self.config
+        if (state.n_keyframes >= cfg.keyframe_capacity
+                or n_edges(state.graph) + 1 > cfg.edge_capacity):
+            state = self._slide_window(state)
         k = state.n_keyframes
-        if k >= cfg.keyframe_capacity:
-            raise ValueError("keyframe capacity exhausted")
         # re-pad the downsampled cloud to the keyframe cloud capacity
         P = cfg.keyframe_cloud_capacity
         pts = scan_ds.points[:P]
@@ -120,9 +169,15 @@ class SLAMSystem:
             return state, 0
 
         graph = state.graph
-        for k in np.nonzero(accept_np)[0]:
+        free = cfg.edge_capacity - n_edges(graph)
+        accepted = np.nonzero(accept_np)[0]
+        if len(accepted) > free:
+            # edge capacity nearly full — the NEXT keyframe store will
+            # slide the window; keep only what fits now
+            accepted = accepted[:free]
+        for k in accepted:
             graph = add_edge(graph, int(ci[k]), int(cj[k]), res.T[k],
-                             info=cfg.odom_edge_info
+                             info=cfg.loop_edge_info
                              * jnp.eye(6, dtype=jnp.float32))
         graph, _ = optimize_pose_graph(graph, cfg.graph)
 
@@ -145,19 +200,25 @@ class SLAMSystem:
         state = dataclasses.replace(state, graph=graph, odom=odom,
                                     last_kf_pose=new_kf,
                                     n_loop_closures=state.n_loop_closures
-                                    + int(accept_np.sum()))
-        return state, int(accept_np.sum())
+                                    + len(accepted))
+        return state, len(accepted)
 
     def _rebuild_map(self, graph: PoseGraph, kf_points, kf_mask, n: int):
-        """Re-integrate every keyframe cloud at its optimized pose."""
+        """Re-integrate every keyframe cloud at its optimized pose.
+
+        One device dispatch for ALL keyframes (round-1 did K separate
+        insert_cloud calls): transform every stored cloud by its optimized
+        pose, flatten to one (K*P,) cloud with dead slots masked, and run
+        the sort-merge insert once. All K slots are always processed
+        (masked beyond n) so the jit never recompiles as the trajectory
+        grows. The rebuilt voxels share one stamp (= n): recency-based
+        eviction restarts from the rebuild, which is the conservative
+        choice after a global pose correction.
+        """
         cfg = self.config.odometry
-        vmap = empty_map(cfg.map_capacity)
-        spec = cfg.map_spec()
-        for k in range(n):
-            cloud = PointCloud(points=kf_points[k], mask=kf_mask[k])
-            world = cloud.transform(graph.poses[k])
-            vmap = insert_cloud(vmap, world, spec, stamp=float(k))
-        return vmap
+        return _rebuild_map_batched(graph.poses, kf_points, kf_mask,
+                                    jnp.int32(n), spec=cfg.map_spec(),
+                                    capacity=cfg.map_capacity)
 
     # -- main entry -------------------------------------------------------
 
