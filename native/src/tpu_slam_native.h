@@ -111,6 +111,21 @@ int ts_m3d_get_voltage(ts_m3d* h, int* value);
 int ts_m3d_set_homing_offset(ts_m3d* h, int offset);
 
 /* ------------------------------------------------------------------ */
+/* VLP-16 packet decoding                                             */
+/* ------------------------------------------------------------------ */
+
+/* Decode n_pkts raw 1206-byte VLP-16 data packets into range-gated
+ * cartesian points (sensor frame, azimuth-major then ring order).
+ * Caller buffers: xyz (cap*3), intensity/azimuth_deg (cap), ring (cap),
+ * time_s (cap, absolute device seconds). Returns the point count,
+ * -1 on a corrupt block flag, -3 when cap is too small. Parity-tested
+ * against the pure-Python decoder (tpu_slam/ingest/velodyne.py). */
+int ts_vlp16_decode(const uint8_t* pkts, int32_t n_pkts, double min_range,
+                    double max_range, float* xyz, float* intensity,
+                    int32_t* ring, float* azimuth_deg, double* time_s,
+                    int32_t cap);
+
+/* ------------------------------------------------------------------ */
 /* Double-buffered scan-line feeder                                   */
 /* ------------------------------------------------------------------ */
 

@@ -243,3 +243,39 @@ def test_feeder_cross_thread():
     t.join()
     assert received == [float(k) for k in range(n_lines)]  # FIFO order
     f.close()
+
+
+def test_vlp16_decode_parity_with_python():
+    """C++ VLP-16 decoder == Python reference decoder, point for point."""
+    from tpu_slam.ingest import velodyne as vlp
+
+    rng = np.random.default_rng(7)
+    S = 120
+    az = np.linspace(350.0, 350.0 + 0.199 * S, S) % 360.0  # crosses wrap
+    dist = rng.uniform(0.1, 140.0, (S, 16))                # some out of gate
+    dist[rng.uniform(size=(S, 16)) < 0.15] = 0.0
+    inten = rng.integers(0, 256, (S, 16)).astype(float)
+    pkts = vlp.encode_packets(az, dist, inten, start_time_s=3.25)
+
+    seqs = vlp.parse_packet_batch(pkts)
+    py_pts, py_int, py_ring, py_az, py_t = vlp.sequences_to_points(
+        seqs, min_range=0.4, max_range=130.0)
+    na_pts, na_int, na_ring, na_az, na_t = nat.vlp16_decode_native(
+        pkts, min_range=0.4, max_range=130.0)
+
+    assert na_pts.shape == py_pts.shape
+    np.testing.assert_allclose(na_pts, py_pts, atol=1e-5)
+    np.testing.assert_array_equal(na_int, py_int)
+    np.testing.assert_array_equal(na_ring, py_ring)
+    np.testing.assert_allclose(na_az, py_az, atol=1e-6)
+    np.testing.assert_allclose(na_t, py_t, atol=1e-9)
+
+
+def test_vlp16_decode_native_rejects_corrupt():
+    from tpu_slam.ingest import velodyne as vlp
+
+    pkts = vlp.encode_packets(np.zeros(24), np.ones((24, 16)))
+    bad = pkts.copy()
+    bad[0, 200] = 0x00
+    with pytest.raises(ValueError):
+        nat.vlp16_decode_native(bad)

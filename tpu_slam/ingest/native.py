@@ -119,6 +119,13 @@ def _configure(lib: ctypes.CDLL):
     lib.ts_m3d_set_homing_offset.restype = ctypes.c_int
     lib.ts_m3d_set_homing_offset.argtypes = [ctypes.c_void_p, ctypes.c_int]
 
+    lib.ts_vlp16_decode.restype = ctypes.c_int
+    lib.ts_vlp16_decode.argtypes = [u8p, ctypes.c_int32, ctypes.c_double,
+                                    ctypes.c_double, f32p, f32p,
+                                    ctypes.POINTER(ctypes.c_int32), f32p,
+                                    ctypes.POINTER(ctypes.c_double),
+                                    ctypes.c_int32]
+
     lib.ts_feeder_create.restype = ctypes.c_void_p
     lib.ts_feeder_create.argtypes = [ctypes.c_int, ctypes.c_int]
     lib.ts_feeder_destroy.argtypes = [ctypes.c_void_p]
@@ -306,3 +313,36 @@ class NativeFeeder:
         if self.h:
             self.lib.ts_feeder_destroy(self.h)
             self.h = None
+
+
+def vlp16_decode_native(packets: np.ndarray, min_range: float = 0.4,
+                        max_range: float = 130.0,
+                        cap: Optional[int] = None):
+    """Decode VLP-16 packets through the C++ hot path (ts_vlp16_decode).
+
+    Same output contract as the pure-Python
+    velodyne.parse_packet_batch -> sequences_to_points chain (parity test
+    in tests/test_native.py). Returns (points (N, 3) f32, intensity (N,),
+    ring (N,) i32, azimuth_rad (N,) f32, time_s (N,) f64).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built (make native)")
+    pkts = np.ascontiguousarray(np.atleast_2d(packets), np.uint8)
+    n_pkts = pkts.shape[0]
+    if cap is None:
+        cap = n_pkts * 24 * 16
+    xyz = np.zeros((cap, 3), np.float32)
+    inten = np.zeros(cap, np.float32)
+    ring = np.zeros(cap, np.int32)
+    az = np.zeros(cap, np.float32)
+    t = np.zeros(cap, np.float64)
+    n = lib.ts_vlp16_decode(
+        pkts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_pkts,
+        min_range, max_range, _f32p(xyz), _f32p(inten),
+        ring.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), _f32p(az),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap)
+    if n < 0:
+        raise ValueError(f"native VLP-16 decode failed: {n}")
+    return (xyz[:n].copy(), inten[:n].copy(), ring[:n].copy(),
+            np.radians(az[:n]).astype(np.float32), t[:n].copy())

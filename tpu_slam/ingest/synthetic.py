@@ -176,6 +176,61 @@ def simulate_line_scan(world: World, T_world_sensor: np.ndarray,
     return pts.astype(np.float32), valid
 
 
+def simulate_vlp16_range_image(world: World, T_world_sensor: np.ndarray,
+                               n_azimuth: int = 1808,
+                               max_range: float = 130.0,
+                               noise_std: float = 0.0,
+                               rng: Optional[np.random.Generator] = None
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """One revolution as the (azimuth, ring) range image the device emits.
+
+    Returns (azimuth_deg (S,), ranges_m (S, 16)); 0 = no return, exactly
+    the wire convention of a VLP-16 data packet (ingest.velodyne). The
+    default S=1808 firing sequences per revolution matches 600 RPM at the
+    55.296 us firing period (universal_velodyne.launch:47 rpm).
+    """
+    dirs_s = vlp16_directions(n_azimuth)
+    R, t = T_world_sensor[:3, :3], T_world_sensor[:3, 3]
+    dirs_w = dirs_s @ R.T
+    origins = np.broadcast_to(t, dirs_w.shape)
+    r = world.raycast(origins, dirs_w, max_range)
+    if noise_std > 0 and rng is not None:
+        r = r + rng.normal(0.0, noise_std, r.shape)
+    r = np.where(np.isfinite(r), r, 0.0).reshape(n_azimuth, 16)
+    az = np.degrees(np.linspace(0.0, 2 * np.pi, n_azimuth, endpoint=False))
+    return az, r.astype(np.float64)
+
+
+def synthesize_vlp16_pcap(path: str, world: World, trajectory: np.ndarray,
+                          n_azimuth: int = 1808, max_range: float = 130.0,
+                          noise_std: float = 0.0,
+                          rng: Optional[np.random.Generator] = None) -> str:
+    """Render a VLP-16 capture along ``trajectory`` and write it as a pcap.
+
+    One full revolution per trajectory pose (sensor static within each
+    revolution — the aggregated-scan granularity the SLAM layer consumes).
+    The result replays byte-exactly through velodyne.read_pcap ->
+    VelodyneStream, standing in for a real recorded sequence
+    (universal_velodyne.launch:49,64 pcap arg).
+    """
+    from tpu_slam.ingest import velodyne as vlp
+
+    rev_period = vlp.SEQ_PERIOD_US * 1e-6 * n_azimuth
+    all_pkts = []
+    for k in range(trajectory.shape[0]):
+        az, r = simulate_vlp16_range_image(
+            world, trajectory[k], n_azimuth=n_azimuth, max_range=max_range,
+            noise_std=noise_std, rng=rng)
+        all_pkts.append(vlp.encode_packets(az, r,
+                                           start_time_s=k * rev_period))
+    pkts = np.concatenate(all_pkts)
+    n_per = all_pkts[0].shape[0]
+    ts = (np.arange(pkts.shape[0], dtype=np.float64) % n_per
+          * vlp.SEQS_PER_PACKET * vlp.SEQ_PERIOD_US * 1e-6)
+    ts = ts + np.repeat(np.arange(len(all_pkts)) * rev_period, n_per)
+    return vlp.write_pcap(path, pkts, timestamps_s=ts)
+
+
 def simulate_vlp16_revolution(world: World, T_world_sensor: np.ndarray,
                               n_azimuth: int = 900,
                               max_range: float = 130.0,
