@@ -19,6 +19,15 @@ import jax.numpy as jnp
 
 _EPS = 1e-8
 
+# TPU matmul precision: jnp's default lowers f32 matmuls to bf16 passes on
+# TPU (~0.4% relative error) — catastrophic for pose composition (errors
+# compound over thousands of chained transforms) and centimeter-level for
+# point transforms at room scale. Every product here is tiny (3x3, 4x4, or
+# (N,3)x(3,3)), so full-f32 precision costs nothing measurable; the MXU-
+# bound registration einsums keep the fast default.
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
 
 # ---------------------------------------------------------------------------
 # SO(3)
@@ -53,7 +62,7 @@ def so3_exp(w: jax.Array) -> jax.Array:
     a = jnp.where(small, 1.0 - theta2 / 6.0, a)
     b = jnp.where(small, 0.5 - theta2 / 24.0, b)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + a * W + b * (W @ W)
+    return eye + a * W + b * _mm(W, W)
 
 
 def so3_log(R: jax.Array) -> jax.Array:
@@ -99,7 +108,7 @@ def so3_left_jacobian(w: jax.Array) -> jax.Array:
     b = jnp.where(small, 0.5 - theta2 / 24.0, b)
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, c)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + b * W + c * (W @ W)
+    return eye + b * W + c * _mm(W, W)
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +122,7 @@ def exp(xi: jax.Array) -> jax.Array:
     V = so3_left_jacobian(w)
     T = jnp.eye(4, dtype=xi.dtype)
     T = T.at[:3, :3].set(R)
-    T = T.at[:3, 3].set(V @ v)
+    T = T.at[:3, 3].set(_mm(V, v))
     return T
 
 
@@ -130,12 +139,12 @@ def inverse(T: jax.Array) -> jax.Array:
     t = T[:3, 3]
     Ti = jnp.eye(4, dtype=T.dtype)
     Ti = Ti.at[:3, :3].set(R.T)
-    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    Ti = Ti.at[:3, 3].set(_mm(-R.T, t))
     return Ti
 
 
 def compose(A: jax.Array, B: jax.Array) -> jax.Array:
-    return A @ B
+    return _mm(A, B)
 
 
 def from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -152,12 +161,12 @@ def apply(T: jax.Array, pts: jax.Array) -> jax.Array:
     XLA maps it onto the MXU (the reference uses pcl::transformPointCloud,
     m3d_calibration_twiddle.cpp:229-230; this is its batched-matmul analog).
     """
-    return pts @ T[:3, :3].T + T[:3, 3]
+    return _mm(pts, T[:3, :3].T) + T[:3, 3]
 
 
 def retract(T: jax.Array, xi: jax.Array) -> jax.Array:
     """Left-multiplicative retraction: exp(xi) @ T (the GN update rule)."""
-    return exp(xi) @ T
+    return _mm(exp(xi), T)
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +260,7 @@ def adjoint(T: jax.Array) -> jax.Array:
     """
     R = T[:3, :3]
     t = T[:3, 3]
-    top = jnp.concatenate([R, hat(t) @ R], axis=1)
+    top = jnp.concatenate([R, _mm(hat(t), R)], axis=1)
     bot = jnp.concatenate([jnp.zeros((3, 3), T.dtype), R], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
@@ -274,4 +283,4 @@ def left_jacobian_inv_approx(xi: jax.Array) -> jax.Array:
     """
     A = ad(xi)
     eye = jnp.eye(6, dtype=xi.dtype)
-    return eye - 0.5 * A + (1.0 / 12.0) * (A @ A)
+    return eye - 0.5 * A + (1.0 / 12.0) * _mm(A, A)

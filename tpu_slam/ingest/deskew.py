@@ -26,10 +26,10 @@ from tpu_slam.core.pointcloud import PointCloud
 def interpolate_pose(T0: jax.Array, T1: jax.Array, alpha: jax.Array
                      ) -> jax.Array:
     """Geodesic interpolation on SE(3); alpha in [0, 1] (batched ok)."""
-    xi = se3.log(se3.inverse(T0) @ T1)
+    xi = se3.log(se3.compose(se3.inverse(T0), T1))
     if alpha.ndim == 0:
-        return T0 @ se3.exp(alpha * xi)
-    return jax.vmap(lambda a: T0 @ se3.exp(a * xi))(alpha)
+        return se3.compose(T0, se3.exp(alpha * xi))
+    return jax.vmap(lambda a: se3.compose(T0, se3.exp(a * xi)))(alpha)
 
 
 @jax.jit
@@ -46,19 +46,15 @@ def deskew_cloud(cloud: PointCloud, time_frac: jax.Array,
     Returns the cloud expressed in the T_end body frame: points captured
     early are carried forward through the interpolated motion.
     """
-    xi = se3.log(se3.inverse(T_start) @ T_end)
+    xi = se3.log(se3.compose(se3.inverse(T_start), T_end))
     inv_end = se3.inverse(T_end)
 
-    def one(p, a):
-        T_a = T_start @ se3.exp(a * xi)       # world <- body(t_a)
-        return (inv_end @ T_a)[:3, :3] @ p + (inv_end @ T_a)[:3, 3]
-
-    # hoist the per-point matrix build: M(a) = inv_end @ T_start @ exp(a xi)
-    base = inv_end @ T_start
+    # per-point matrix: M(a) = inv_end @ T_start @ exp(a xi)
+    base = se3.compose(inv_end, T_start)
 
     def one_fast(p, a):
-        M = base @ se3.exp(a * xi)
-        return M[:3, :3] @ p + M[:3, 3]
+        M = se3.compose(base, se3.exp(a * xi))
+        return se3.apply(M, p[None])[0]
 
     pts = jax.vmap(one_fast)(cloud.points, time_frac)
     pts = jnp.where(cloud.mask[:, None], pts, cloud.points)

@@ -143,6 +143,23 @@ def rotation_link_transform(angle: jax.Array) -> jax.Array:
     return se3.from_rt(R, t)
 
 
+def front_laser_transform(sensor: Optional[SensorModel] = None
+                          ) -> jax.Array:
+    """Static unit-base -> front-laser transform.
+
+    The reference's second (front-facing, non-rotating) SICK: its link TF
+    is published at the fixed FRONT_LINK_TRANSLATION lever arm
+    (encoder_node_li.cpp:83-85), composed with the sensor-model mounting
+    offset exactly like the rotating laser's static tail. Used by the live
+    pipeline's second laser stream (pipeline.live.LivePipeline.front).
+    """
+    t = jnp.asarray(FRONT_LINK_TRANSLATION, jnp.float32)
+    T = se3.from_rt(jnp.eye(3, dtype=jnp.float32), t)
+    if sensor is not None:
+        T = se3.compose(T, sensor.transform())
+    return T
+
+
 @dataclasses.dataclass(frozen=True)
 class FrameChain:
     """The composed laser-to-base kinematic chain.
@@ -158,12 +175,14 @@ class FrameChain:
     encoder_offset: float = math.pi
 
     def static_tail(self) -> jax.Array:
-        return self.calibration.transform() @ self.sensor.transform()
+        return se3.compose(self.calibration.transform(),
+                           self.sensor.transform())
 
     def base_from_laser(self, angle: jax.Array) -> jax.Array:
         """(…,) encoder angles -> (…, 4, 4) base<-laser transforms."""
         tail = self.static_tail()
         a = jnp.asarray(angle, jnp.float32) - self.encoder_offset
         if a.ndim == 0:
-            return rotation_link_transform(a) @ tail
-        return jax.vmap(lambda x: rotation_link_transform(x) @ tail)(a)
+            return se3.compose(rotation_link_transform(a), tail)
+        return jax.vmap(
+            lambda x: se3.compose(rotation_link_transform(x), tail))(a)
