@@ -51,6 +51,15 @@ extern "C" int ts_m3d_connect_tcp(ts_m3d* h, const char* host, int port,
   return 0;
 }
 
+extern "C" int ts_m3d_connect_serial(ts_m3d* h, const char* device, int baud,
+                                     int timeout_ms) {
+  h->timeout_ms = timeout_ms;
+  if (!h->sock.open_serial(device, baud)) return -1;
+  int res;
+  if (ts_m3d_get_encoder_res(h, &res) != 0) return -2;
+  return 0;
+}
+
 extern "C" int ts_m3d_write_param(ts_m3d* h, int index, int subindex,
                                   int value) {
   char cmd[96];

@@ -87,6 +87,10 @@ void ts_m3d_destroy(ts_m3d* h);
 /* TCP transport (driverLib.cpp:34-47, port 10001). */
 int ts_m3d_connect_tcp(ts_m3d* h, const char* host, int port,
                        int timeout_ms);
+/* Serial transport (driverLib.cpp:10-32; reference baud 57600, 8N1 raw).
+ * device: tty path, e.g. /dev/ttyUSB0. */
+int ts_m3d_connect_serial(ts_m3d* h, const char* device, int baud,
+                          int timeout_ms);
 /* Write parameter: "sp <idx>h.<sub>h <val>" -> expects echo ack
  * (driverLib.cpp:64-105). Returns 0 on ack. */
 int ts_m3d_write_param(ts_m3d* h, int index, int subindex, int value);

