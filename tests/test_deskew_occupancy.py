@@ -127,3 +127,65 @@ def test_occupancy_accumulates_and_clamps():
         grid = occupancy_update(grid, keys, delta)
     lo = query_occupancy(grid, pts, spec)
     assert float(lo[0]) <= 6.0 + 1e-6   # clamped at max_log
+
+
+def test_dynamic_object_evicted_from_map():
+    """Occupancy in the pipeline (VERDICT r1 next #8): an object present in
+    early scans then removed is evicted from the NDT map by free-space
+    evidence, while static structure stays."""
+    import dataclasses
+
+    from tpu_slam.pipeline.config import OdometryConfig
+    from tpu_slam.pipeline.odometry import LidarOdometry
+    from tpu_slam.registration.ndt import NDTParams
+    from tpu_slam.mapping.voxel_map import voxel_means
+    from tpu_slam.kernels.voxel_hash import INVALID_KEY
+
+    box_lo = np.array([1.5, -0.8, 0.0])
+    box_hi = np.array([2.6, 0.8, 1.4])
+    world_with = syn.make_room(size=(12.0, 9.0, 3.0),
+                               boxes=[(box_lo, box_hi)])
+    world_without = syn.make_room(size=(12.0, 9.0, 3.0))
+
+    T = np.eye(4); T[:3, 3] = [-2.0, 0.0, 1.3]
+    rng = np.random.default_rng(0)
+
+    def scan(world):
+        pts, valid = syn.simulate_vlp16_revolution(
+            world, T, n_azimuth=360, noise_std=0.005, rng=rng)
+        return PointCloud.from_points(jnp.asarray(pts[valid]),
+                                      capacity=8192)
+
+    cfg = OdometryConfig(
+        scan_capacity=4096, downsample_leaf=0.25, map_leaf=0.4,
+        map_half_extent=8.0, map_capacity=16384,
+        ndt=NDTParams(max_iterations=15),
+        use_occupancy=True, occupancy_capacity=32768,
+        occupancy_steps=64, occupancy_max_range=15.0,
+        occupancy_evict_below=-1.0,
+        min_insert_fraction=0.0)
+    odo = LidarOdometry(cfg)
+    state = odo.init_state(jnp.asarray(T, jnp.float32))
+
+    for _ in range(2):
+        state, _ = odo.step(state, scan(world_with))
+
+    def box_voxels(vmap):
+        means = np.asarray(voxel_means(vmap, cfg.map_spec()))
+        occ = np.asarray(vmap.keys) != int(INVALID_KEY)
+        inside = ((means > box_lo - 0.2) & (means < box_hi + 0.2)).all(1)
+        return int(np.sum(occ & inside)), int(np.sum(occ))
+
+    n_box_before, n_total_before = box_voxels(state.vmap)
+    assert n_box_before > 10          # the object is in the map
+
+    # object gone: rays see through it. Crossing the eviction threshold
+    # takes ceil((2 * 0.85 + 1.0) / 0.4) = 7 miss scans of evidence
+    for _ in range(10):
+        state, m = odo.step(state, scan(world_without))
+        assert m.matched_fraction > 0.5   # registration survives eviction
+
+    n_box_after, n_total_after = box_voxels(state.vmap)
+    assert n_box_after < 0.2 * n_box_before, (n_box_before, n_box_after)
+    # static structure (walls/floor) survives
+    assert n_total_after > 0.6 * n_total_before

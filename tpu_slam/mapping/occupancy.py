@@ -154,6 +154,40 @@ def occupancy_update(grid: OccupancyGrid, keys: jax.Array,
                          log_odds=jnp.take(klo, final))
 
 
+def query_log_odds_keys(grid: OccupancyGrid, keys: jax.Array) -> jax.Array:
+    """(N,) log-odds for voxel keys; 0 (unknown) where absent."""
+    pos = jnp.clip(jnp.searchsorted(grid.keys, keys), 0, grid.capacity - 1)
+    hit = (jnp.take(grid.keys, pos) == keys) & (keys != INVALID_KEY)
+    return jnp.where(hit, jnp.take(grid.log_odds, pos), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "n_steps", "max_range",
+                                             "evict_below"))
+def occupancy_maintain(grid: OccupancyGrid, vmap, origin: jax.Array,
+                       cloud: PointCloud, spec: VoxelGridSpec,
+                       n_steps: int = 64, max_range: float = 30.0,
+                       evict_below: float = -1.0):
+    """One scan of free-space maintenance: update log-odds, evict
+    seen-through map voxels (dynamic-object removal).
+
+    The occupancy grid shares the NDT map's grid spec so keys compare
+    directly. A map voxel whose accumulated log-odds fell below
+    ``evict_below`` (rays keep passing through where surface once was)
+    is removed from the moments map — its Gaussian no longer attracts
+    registration and the space reads as free.
+
+    Returns (grid, vmap, n_evicted) in one dispatch.
+    """
+    from tpu_slam.mapping.voxel_map import evict_where
+
+    keys, delta = ray_evidence(origin, cloud, spec, n_steps=n_steps,
+                               max_range=max_range)
+    grid = occupancy_update(grid, keys, delta)
+    lo = query_log_odds_keys(grid, vmap.keys)
+    drop = (vmap.keys != INVALID_KEY) & (lo < evict_below)
+    return grid, evict_where(vmap, drop), jnp.sum(drop.astype(jnp.int32))
+
+
 def occupancy_probability(grid: OccupancyGrid) -> jax.Array:
     """(C,) occupancy probability from log odds."""
     return jax.nn.sigmoid(grid.log_odds)

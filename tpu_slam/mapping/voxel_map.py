@@ -195,6 +195,26 @@ def insert_cloud(vmap: VoxelMap, cloud: PointCloud, spec: VoxelGridSpec,
                              jnp.asarray(stamp, jnp.float32))
 
 
+def evict_where(vmap: VoxelMap, drop: jax.Array) -> VoxelMap:
+    """Remove the voxels where ``drop`` is True (e.g. seen-through voxels
+    flagged by free-space occupancy evidence — dynamic-object removal).
+
+    One sort restores the sorted-keys/INVALID-tail invariant (INVALID_KEY
+    is int32 max, so dead slots order to the tail naturally).
+    """
+    keys = jnp.where(drop, INVALID_KEY, vmap.keys)
+    dead = keys == INVALID_KEY
+    order = jnp.argsort(keys, stable=True)
+    take = lambda a: jnp.take(a, order, axis=0)
+    z = lambda a: jnp.where(
+        dead.reshape((-1,) + (1,) * (a.ndim - 1)), 0.0, a)
+    return VoxelMap(keys=take(keys),
+                    count=take(z(vmap.count)),
+                    sum_pts=take(z(vmap.sum_pts)),
+                    sum_outer=take(z(vmap.sum_outer)),
+                    stamp=take(jnp.where(dead, -jnp.inf, vmap.stamp)))
+
+
 # ---------------------------------------------------------------------------
 # Derived quantities
 # ---------------------------------------------------------------------------

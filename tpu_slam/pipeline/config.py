@@ -44,6 +44,18 @@ class OdometryConfig:
                                         # exceeds the fine Gaussians' basin
                                         # (fast outdoor driving)
 
+    # Occupancy maintenance (free-space evidence -> dynamic-point removal)
+    use_occupancy: bool = False         # maintain a log-odds grid alongside
+                                        # the moments map; map voxels whose
+                                        # log-odds fall below the eviction
+                                        # threshold (rays now pass through
+                                        # them) are removed — moving objects
+                                        # do not fossilize in the map
+    occupancy_capacity: int = 65536
+    occupancy_steps: int = 64           # free-space samples per ray
+    occupancy_max_range: float = 30.0
+    occupancy_evict_below: float = -1.0
+
     # Motion model / insertion policy
     deskew: bool = False                # undistort scans with the predicted
                                         # motion (VLP-16 azimuth timing)

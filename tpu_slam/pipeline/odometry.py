@@ -50,6 +50,8 @@ class OdometryState:
     # all voxels is the most expensive per-scan op and skipping it on
     # no-insert scans is free accuracy-wise)
     field: object = None
+    # log-odds occupancy grid (only with config.use_occupancy)
+    occ: object = None
 
 
 class LidarOdometry:
@@ -65,9 +67,24 @@ class LidarOdometry:
                    ) -> OdometryState:
         pose = (jnp.eye(4, dtype=jnp.float32) if init_pose is None
                 else jnp.asarray(init_pose, jnp.float32))
+        occ = None
+        if self.config.use_occupancy:
+            from tpu_slam.mapping.occupancy import empty_occupancy
+            occ = empty_occupancy(self.config.occupancy_capacity)
         return OdometryState(pose=pose,
                              last_delta=jnp.eye(4, dtype=jnp.float32),
-                             vmap=empty_map(self.config.map_capacity))
+                             vmap=empty_map(self.config.map_capacity),
+                             occ=occ)
+
+    def _maintain_occupancy(self, state_occ, vmap, T, scan):
+        """Free-space update + seen-through voxel eviction (one dispatch)."""
+        from tpu_slam.mapping.occupancy import occupancy_maintain
+        cfg = self.config
+        world_scan = scan.transform(T)
+        return occupancy_maintain(
+            state_occ, vmap, T[:3, 3], world_scan, self.map_spec,
+            n_steps=cfg.occupancy_steps, max_range=cfg.occupancy_max_range,
+            evict_below=cfg.occupancy_evict_below)
 
     def downsample(self, cloud: PointCloud) -> PointCloud:
         return voxel_downsample(cloud, self.scan_spec,
@@ -168,9 +185,13 @@ class LidarOdometry:
                 world = cloud.transform(state.pose)
                 vmap = insert_cloud(state.vmap, world, self.map_spec,
                                     stamp=0.0)
+                occ = state.occ
+                if cfg.use_occupancy:
+                    occ, vmap, _ = self._maintain_occupancy(
+                        occ, vmap, state.pose, scan)
                 new_state = OdometryState(pose=state.pose,
                                           last_delta=state.last_delta,
-                                          vmap=vmap, scan_index=1)
+                                          vmap=vmap, scan_index=1, occ=occ)
                 m = ScanMetrics(scan_index=0, iterations=0, residual=0.0,
                                 matched_fraction=1.0, wall_time_s=0.0)
                 jax.block_until_ready(vmap.keys)
@@ -223,6 +244,13 @@ class LidarOdometry:
                                     stamp=float(state.scan_index))
                 field = None  # map changed; invalidate the field cache
 
+            occ = state.occ
+            if cfg.use_occupancy and not rejected:
+                occ, vmap, n_evict = self._maintain_occupancy(
+                    occ, vmap, T, scan)
+                if int(n_evict) > 0:   # one extra sync, feature-gated
+                    field = None       # evictions changed the map
+
         m = ScanMetrics(
             scan_index=state.scan_index,
             iterations=int(iters_h),
@@ -235,7 +263,7 @@ class LidarOdometry:
         self.metrics.append(m)
         new_state = OdometryState(pose=T, last_delta=delta, vmap=vmap,
                                   scan_index=state.scan_index + 1,
-                                  field=field)
+                                  field=field, occ=occ)
         return new_state, m
 
     def run(self, clouds, init_pose: Optional[jax.Array] = None
