@@ -16,9 +16,10 @@ import math
 import numpy as np
 
 from tpu_slam.cli.common import add_common_args, emit
-from tpu_slam.ingest.calibration import (CalibConfig, CalibrationData,
-                                         calibrate_gradient, calibrate_sa,
-                                         calibrate_twiddle)
+from tpu_slam.ingest.calibration import (CalibConfig, CalibrationCapture,
+                                         CalibrationData, calibrate_gradient,
+                                         calibrate_sa, calibrate_twiddle,
+                                         capture_from_lms)
 
 
 def _demo_data():
@@ -52,6 +53,20 @@ def main(argv=None):
     p.add_argument("--input", default=None, help="segments .npz")
     p.add_argument("--demo", action="store_true",
                    help="solve a synthetic capture instead of --input")
+    p.add_argument("--capture", action="store_true",
+                   help="capture segments live from the rotating unit "
+                        "(m3d_calibration_twiddle.cpp:56-82,312-317)")
+    p.add_argument("--lms-host", default=None)
+    p.add_argument("--lms-port", type=int, default=2111)
+    p.add_argument("--m3d-host", default=None)
+    p.add_argument("--m3d-port", type=int, default=10001)
+    p.add_argument("--m3d-serial", default=None)
+    p.add_argument("--speed", type=int, default=12)
+    p.add_argument("--sweep-pi", type=float, default=2.0,
+                   help="required rotation sweep in multiples of pi "
+                        "(2 default, 6 for Velodyne)")
+    p.add_argument("--save-segments", default=None,
+                   help="also write the captured segments .npz")
     p.add_argument("--method", choices=["twiddle", "sa", "gradient"],
                    default="gradient")
     p.add_argument("--out", default=None,
@@ -63,7 +78,43 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    if args.demo:
+    if args.capture:
+        from tpu_slam.ingest.native import NativeLms, NativeM3d
+        m3d = NativeM3d()
+        if args.m3d_serial:
+            m3d.connect_serial(args.m3d_serial)
+        elif args.m3d_host:
+            m3d.connect_tcp(args.m3d_host, args.m3d_port)
+        else:
+            raise SystemExit("--capture needs --m3d-host or --m3d-serial")
+        if not args.lms_host:
+            raise SystemExit("--capture needs --lms-host")
+        m3d.set_speed(args.speed)
+        lms = NativeLms(cap=2048)
+        lms.connect(args.lms_host, args.lms_port)
+        lms.start_scan()
+        cap = CalibrationCapture(sweep_rad=args.sweep_pi * math.pi)
+        try:
+            capture_from_lms(lms, m3d.angle, cap)
+        finally:
+            try:
+                m3d.set_speed(0)
+            except ConnectionError:
+                pass
+            lms.close()
+            m3d.close()
+        if not cap.complete:
+            raise SystemExit(f"capture incomplete: swept "
+                             f"{cap.progress:.1f}% of the required "
+                             f"{args.sweep_pi}*pi")
+        data = cap.data()
+        true = None
+        if args.save_segments:
+            np.savez_compressed(args.save_segments,
+                                points=np.asarray(data.points),
+                                valid=np.asarray(data.valid),
+                                transforms=np.asarray(data.transforms))
+    elif args.demo:
         data, true = _demo_data()
     elif args.input:
         with np.load(args.input) as z:
@@ -72,7 +123,7 @@ def main(argv=None):
                                    transforms=jnp.asarray(z["transforms"]))
         true = None
     else:
-        raise SystemExit("need --input or --demo")
+        raise SystemExit("need --input, --demo, or --capture")
 
     cfg = CalibConfig(up_axis=args.up_axis, half_extent=8.0, capacity=65536)
     if args.method == "twiddle":

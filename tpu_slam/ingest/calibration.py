@@ -151,6 +151,123 @@ def soft_overlap_cost(data: CalibrationData, params5: jax.Array,
     return jnp.sum(jnp.where(second_ds.mask, soft, 0.0))
 
 
+class CalibrationCapture:
+    """Collect (line cloud, rotation transform) segments from the rotating
+    stream until the axis sweeps ``sweep_rad``.
+
+    The live twin of the reference's segment collection
+    (m3d_calibration_twiddle.cpp:56-82 addSegment, :312-317 N*pi gate;
+    2pi default, 6pi for Velodyne per velodyne_calibration.launch:6-7).
+    Lines are stored RAW (laser frame) with the PURE rotation transform
+    T_rot(angle) — the candidate extrinsic under optimization stands in
+    for the calibration/sensor tail of the live TF chain, exactly like the
+    reference's laserOffsetMatrix.
+    """
+
+    def __init__(self, line_capacity: int = 1024,
+                 max_segments: int = 4096,
+                 sweep_rad: float = 2.0 * math.pi,
+                 encoder_offset: float = math.pi):
+        self.line_capacity = line_capacity
+        self.max_segments = max_segments
+        self.sweep_rad = sweep_rad
+        self.encoder_offset = encoder_offset
+        self._pts: list = []
+        self._val: list = []
+        self._T: list = []
+        self._last_angle: Optional[float] = None
+        self._swept = 0.0
+
+    @property
+    def complete(self) -> bool:
+        return self._swept >= self.sweep_rad
+
+    @property
+    def progress(self) -> float:
+        """Percent of the required sweep (the reference's progress topic)."""
+        return 100.0 * self._swept / self.sweep_rad
+
+    @property
+    def n_segments(self) -> int:
+        return len(self._pts)
+
+    def add_line(self, points: np.ndarray, valid: np.ndarray,
+                 encoder_angle: float) -> bool:
+        """Store one laser line at its encoder angle; returns ``complete``."""
+        from tpu_slam.ingest.frames import rotation_link_transform
+
+        if self.complete or len(self._pts) >= self.max_segments:
+            return True
+        L = self.line_capacity
+        p = np.zeros((L, 3), np.float32)
+        v = np.zeros((L,), bool)
+        n = min(len(points), L)
+        p[:n], v[:n] = points[:n], valid[:n]
+        a = float(encoder_angle) - self.encoder_offset
+        self._pts.append(p)
+        self._val.append(v)
+        self._T.append(np.asarray(rotation_link_transform(jnp.float32(a)),
+                                  np.float32))
+        if self._last_angle is not None:
+            # rotation about a fixed axis: quaternion angular distance
+            # between consecutive line transforms == |delta angle|,
+            # shortest-arc (an encoder wrap is a tiny step, not ~2pi)
+            d = abs(a - self._last_angle) % (2.0 * math.pi)
+            self._swept += min(d, 2.0 * math.pi - d)
+        self._last_angle = a
+        return self.complete
+
+    def data(self, pad_to: int = 64) -> CalibrationData:
+        """Freeze into CalibrationData (segment count padded for jit-shape
+        stability across captures of similar length)."""
+        S = len(self._pts)
+        if S == 0:
+            raise ValueError("no segments captured")
+        Sp = -(-S // pad_to) * pad_to
+        L = self.line_capacity
+        pts = np.zeros((Sp, L, 3), np.float32)
+        val = np.zeros((Sp, L), bool)
+        Ts = np.broadcast_to(np.eye(4, dtype=np.float32),
+                             (Sp, 4, 4)).copy()
+        pts[:S] = np.stack(self._pts)
+        val[:S] = np.stack(self._val)
+        Ts[:S] = np.stack(self._T)
+        return CalibrationData(points=jnp.asarray(pts),
+                               valid=jnp.asarray(val),
+                               transforms=jnp.asarray(Ts))
+
+
+def capture_from_lms(lms, angle_source: Callable[[], float],
+                     capture: CalibrationCapture,
+                     start_angle_deg: float = -45.0,
+                     range_min: float = 0.01, range_max: float = 100.0,
+                     max_lines: int = 100000,
+                     poll_timeout_ms: int = 2000) -> CalibrationCapture:
+    """Drive a CalibrationCapture from a connected NativeLms stream.
+
+    The capture-side twin of the reference's live subscription
+    (m3d_calibration_twiddle.cpp:430 rotLaserPointCloudCallback): poll
+    telegrams, expand to laser-frame points, tag with the encoder angle.
+    """
+    dirs = None
+    for _ in range(max_lines):
+        out = lms.poll(timeout_ms=poll_timeout_ms)
+        if out is None:
+            break
+        meta, ranges, _ = out
+        if dirs is None or dirs.shape[0] != ranges.shape[0]:
+            ang = (math.radians(start_angle_deg)
+                   + math.radians(meta.ang_step_deg)
+                   * np.arange(ranges.shape[0]))
+            dirs = np.stack([np.cos(ang), np.sin(ang),
+                             np.zeros_like(ang)], axis=1).astype(np.float32)
+        pts = dirs * ranges[:, None]
+        valid = (ranges >= range_min) & (ranges <= range_max)
+        if capture.add_line(pts, valid, angle_source()):
+            break
+    return capture
+
+
 @dataclasses.dataclass
 class CalibResult:
     params5: np.ndarray
