@@ -269,3 +269,65 @@ def test_schur_multiple_loops_and_robust():
         make_mesh(8, axis_name="graph"), g, p)
     np.testing.assert_allclose(np.asarray(gs.poses[:24]),
                                np.asarray(gd.poses[:24]), atol=2e-4)
+
+
+def test_heartbeat_healthy_and_fault_injected():
+    """Failure detection (SURVEY §5): a healthy mesh heartbeat returns True
+    quickly; an injected dead-peer hang (fault seam) returns False within
+    the bounded timeout instead of blocking the caller forever; a raising
+    probe (torn-down cluster) also returns False."""
+    import time
+
+    from tpu_slam.distributed.multihost import heartbeat
+
+    mesh = _mesh()
+    assert heartbeat(mesh, timeout_s=30.0) is True
+
+    t0 = time.monotonic()
+    ok = heartbeat(mesh, timeout_s=0.5,
+                   _probe_fn=lambda x: time.sleep(30))
+    elapsed = time.monotonic() - t0
+    assert ok is False
+    assert elapsed < 5.0           # bounded: did not wait out the hang
+
+    def _raise(x):
+        raise ConnectionError("peer gone")
+    assert heartbeat(mesh, timeout_s=5.0, _probe_fn=_raise) is False
+
+
+def test_heartbeat_recovery_path(tmp_path):
+    """Dead-peer detection chains into checkpoint-based recovery: the
+    survivor saves state, 'rebuilds the cluster' (fresh system), resumes
+    from the checkpoint, and the run continues deterministically."""
+    import time
+
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from tests.test_pipeline import _sequence, _slam_cfg
+    from tpu_slam.distributed.multihost import heartbeat
+    from tpu_slam.pipeline.checkpoint import load_checkpoint, save_checkpoint
+    from tpu_slam.pipeline.slam import SLAMSystem
+
+    mesh = _mesh()
+    clouds, gt = _sequence(n_poses=5)
+    cfg = _slam_cfg()
+    slam = SLAMSystem(cfg)
+    state = slam.init_state(jnp.asarray(gt[0], jnp.float32))
+    for c in clouds[:3]:
+        state, _ = slam.step(state, c)
+
+    # peer dies mid-run -> heartbeat trips -> save + rebuild + resume
+    assert not heartbeat(mesh, timeout_s=0.3,
+                         _probe_fn=lambda x: time.sleep(30))
+    path = str(tmp_path / "recover.npz")
+    save_checkpoint(path, state)
+
+    slam_b = SLAMSystem(cfg)                 # the rebuilt job
+    state_b, _ = load_checkpoint(path)
+    for c in clouds[3:]:
+        state_b, _ = slam_b.step(state_b, c)
+    # and an undisturbed run agrees with the recovered one
+    for c in clouds[3:]:
+        state, _ = slam.step(state, c)
+    np.testing.assert_allclose(np.asarray(state_b.odom.pose),
+                               np.asarray(state.odom.pose), atol=1e-5)

@@ -55,7 +55,7 @@ def is_coordinator() -> bool:
 
 
 def heartbeat(mesh, axis_name: str = "data",
-              timeout_s: float = 30.0) -> bool:
+              timeout_s: float = 30.0, _probe_fn=None) -> bool:
     """All-reduce heartbeat: returns True when every process responds.
 
     A hung / dead host stalls the psum past ``timeout_s``; the caller then
@@ -65,23 +65,30 @@ def heartbeat(mesh, axis_name: str = "data",
     a bounded ``join``: a dead peer leaves the thread blocked inside the
     psum forever, the join times out, and the caller gets False instead of
     hanging with it.
+
+    ``_probe_fn`` is the fault-injection seam (tests substitute a probe
+    that hangs or raises, standing in for a dead peer — a real one cannot
+    be simulated in a single-process CI job).
     """
     import functools
     import threading
 
     from jax.sharding import PartitionSpec as P
 
-    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False, in_specs=P(),
-                       out_specs=P())
-    def probe(x):
-        return jax.lax.psum(x, axis_name)
+    if _probe_fn is None:
+        @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                           in_specs=P(), out_specs=P())
+        def probe(x):
+            return jax.lax.psum(x, axis_name)
+
+        def _probe_fn(x):
+            probe(x).block_until_ready()
 
     result = {"ok": False}
 
     def _run():
         try:
-            out = probe(jnp.ones((mesh.shape[axis_name],), jnp.float32))
-            out.block_until_ready()
+            _probe_fn(jnp.ones((mesh.shape[axis_name],), jnp.float32))
             result["ok"] = True
         except Exception:
             result["ok"] = False
