@@ -18,6 +18,7 @@ import numpy as np
 
 from tpu_slam.core import se3
 from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.graph.scan_context import ScanContextParams
 from tpu_slam.registration.icp import ICPParams, ICPResult, icp
 
 
@@ -32,6 +33,12 @@ class LoopClosureParams:
     max_error: float = 0.05          # mean squared residual acceptance gate
     icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0,
                                huber_delta=0.3)
+    # appearance channel (graph/scan_context.py): candidates the proximity
+    # gate cannot see once drift exceeds max_distance. 0 disables.
+    use_scan_context: bool = True
+    sc_max_distance: float = 0.22    # min-over-rotation SC distance gate
+    sc_top_k: int = 3                # best matches proposed per keyframe
+    sc: ScanContextParams = ScanContextParams()
 
 
 def propose_candidates(positions: jax.Array, n_nodes: int,

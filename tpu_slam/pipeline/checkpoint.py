@@ -47,6 +47,7 @@ def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
         "graph_edge_mask": np.asarray(state.graph.edge_mask),
         "kf_points": np.asarray(state.kf_points),
         "kf_mask": np.asarray(state.kf_mask),
+        "kf_desc": np.asarray(state.kf_desc),
         "last_kf_pose": np.asarray(state.last_kf_pose),
         "archived_poses": (np.stack(state.archived_poses)
                            if state.archived_poses
@@ -96,11 +97,20 @@ def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
             edge_info=jnp.asarray(z["graph_edge_info"]),
             edge_mask=jnp.asarray(z["graph_edge_mask"]),
         )
+        kf_mask = jnp.asarray(z["kf_mask"])
+        if "kf_desc" in z.files:
+            kf_desc = jnp.asarray(z["kf_desc"])
+        else:                      # v1 checkpoint: rebuildable, start empty
+            from tpu_slam.graph.scan_context import ScanContextParams
+            sc = ScanContextParams()
+            kf_desc = jnp.zeros((kf_mask.shape[0], sc.n_rings,
+                                 sc.n_sectors), jnp.float32)
         state = SLAMState(
             odom=odom,
             graph=graph,
             kf_points=jnp.asarray(z["kf_points"]),
-            kf_mask=jnp.asarray(z["kf_mask"]),
+            kf_mask=kf_mask,
+            kf_desc=kf_desc,
             n_keyframes=manifest["n_keyframes"],
             last_kf_pose=jnp.asarray(z["last_kf_pose"]),
             n_loop_closures=manifest["n_loop_closures"],

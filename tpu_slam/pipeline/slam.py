@@ -39,6 +39,7 @@ class SLAMState:
     graph: PoseGraph
     kf_points: jax.Array       # (K, P, 3) keyframe clouds (body frame)
     kf_mask: jax.Array         # (K, P)
+    kf_desc: jax.Array         # (K, R, S) scan-context descriptors
     n_keyframes: int
     last_kf_pose: jax.Array    # (4, 4) pose of the newest keyframe
     n_loop_closures: int = 0
@@ -77,11 +78,13 @@ class SLAMSystem:
     def init_state(self, init_pose: Optional[jax.Array] = None) -> SLAMState:
         cfg = self.config
         K, P = cfg.keyframe_capacity, cfg.keyframe_cloud_capacity
+        sc = cfg.loop.sc
         return SLAMState(
             odom=self.odometry.init_state(init_pose),
             graph=empty_graph(cfg.keyframe_capacity, cfg.edge_capacity),
             kf_points=jnp.full((K, P, 3), PAD_COORD, jnp.float32),
             kf_mask=jnp.zeros((K, P), bool),
+            kf_desc=jnp.zeros((K, sc.n_rings, sc.n_sectors), jnp.float32),
             n_keyframes=0,
             last_kf_pose=jnp.eye(4, dtype=jnp.float32),
         )
@@ -116,10 +119,12 @@ class SLAMSystem:
         pad_pts = jnp.full((m,) + state.kf_points.shape[1:], PAD_COORD,
                            state.kf_points.dtype)
         pad_msk = jnp.zeros((m,) + state.kf_mask.shape[1:], bool)
+        pad_desc = jnp.zeros((m,) + state.kf_desc.shape[1:], jnp.float32)
         return dataclasses.replace(
             state, graph=graph,
             kf_points=jnp.concatenate([state.kf_points[m:], pad_pts]),
             kf_mask=jnp.concatenate([state.kf_mask[m:], pad_msk]),
+            kf_desc=jnp.concatenate([state.kf_desc[m:], pad_desc]),
             n_keyframes=n - m, archived_poses=archived,
             n_evictions=state.n_evictions + m)
 
@@ -144,6 +149,12 @@ class SLAMSystem:
                                    jnp.zeros((P - n_in,), bool)])
         kf_points = state.kf_points.at[k].set(pts)
         kf_mask = state.kf_mask.at[k].set(msk)
+        kf_desc = state.kf_desc
+        if cfg.loop.use_scan_context:
+            from tpu_slam.graph.scan_context import scan_context
+            desc = scan_context(PointCloud(points=pts, mask=msk),
+                                cfg.loop.sc)
+            kf_desc = kf_desc.at[k].set(desc)
 
         graph, idx = add_node(state.graph, state.odom.pose)
         assert idx == k
@@ -153,7 +164,8 @@ class SLAMSystem:
                              info=cfg.odom_edge_info
                              * jnp.eye(6, dtype=jnp.float32))
         return dataclasses.replace(state, graph=graph, kf_points=kf_points,
-                                   kf_mask=kf_mask, n_keyframes=k + 1,
+                                   kf_mask=kf_mask, kf_desc=kf_desc,
+                                   n_keyframes=k + 1,
                                    last_kf_pose=state.odom.pose)
 
     # -- loop closure -----------------------------------------------------
@@ -166,6 +178,24 @@ class SLAMSystem:
         # drop pairs already connected by an odometry edge
         keep = (cj - ci) >= cfg.loop.min_index_gap
         ci, cj = ci[keep], cj[keep]
+        if cfg.loop.use_scan_context and n > cfg.loop.min_index_gap + 1:
+            # appearance channel: proposes revisits the (drifted) proximity
+            # gate cannot see; same ICP verification downstream
+            from tpu_slam.graph.scan_context import propose_sc_candidates
+            si, sj = propose_sc_candidates(
+                state.kf_desc[n - 1], state.kf_desc, n - 1, n,
+                cfg.loop.sc_max_distance, cfg.loop.min_index_gap,
+                cfg.loop.sc_top_k)
+            if si.size:
+                pairs = {(int(a), int(b)) for a, b in zip(ci, cj)}
+                fresh = [(a, b) for a, b in zip(si, sj)
+                         if (int(a), int(b)) not in pairs]
+                if fresh:
+                    fi, fj = zip(*fresh)
+                    ci = np.concatenate([ci, np.asarray(fi, np.int32)])
+                    cj = np.concatenate([cj, np.asarray(fj, np.int32)])
+                    ci, cj = (ci[: cfg.loop.max_candidates],
+                              cj[: cfg.loop.max_candidates])
         if ci.size == 0:
             return state, 0
 
