@@ -50,12 +50,15 @@ def _time(fn, reps, ready):
 # Shared workload builders
 # ---------------------------------------------------------------------------
 
-def _outdoor_scans(n_poses, n_azimuth=4096, radius=26.0, seed=0):
+def _outdoor_scans(n_poses, n_azimuth=4096, radius=26.0, step=1.0,
+                   max_range=75.0, seed=0):
     """VLP-16 revolutions along a ring road in the city-block world.
 
     n_azimuth=4096 -> 65,536 rays per revolution (>= the 64k-point
     realistic-scan bar; a real VLP-16 at 600 RPM fires ~28.9k/rev, so this
-    is ~2.3 revolutions of work per scan)."""
+    is ~2.3 revolutions of work per scan). ``step`` is the inter-scan
+    motion in meters (1 m/scan = 10 m/s urban driving at 10 Hz); the range
+    gate keeps every return inside the benchmark map grid."""
     import jax.numpy as jnp
     import math
     from tpu_slam.core.pointcloud import PointCloud
@@ -65,11 +68,12 @@ def _outdoor_scans(n_poses, n_azimuth=4096, radius=26.0, seed=0):
     rng = np.random.default_rng(seed)
     clouds, gt = [], []
     for k in range(n_poses):
-        a = 2 * math.pi * k / n_poses
+        a = step * k / radius
         T = syn.se2_pose(radius * math.cos(a), radius * math.sin(a),
                          a + math.pi / 2, z=1.8)
         pts, valid = syn.simulate_vlp16_revolution(
-            world, T, n_azimuth=n_azimuth, noise_std=0.01, rng=rng)
+            world, T, n_azimuth=n_azimuth, max_range=max_range,
+            noise_std=0.01, rng=rng)
         clouds.append(PointCloud.from_points(jnp.asarray(pts[valid]),
                                              capacity=n_azimuth * 16))
         gt.append(T)
@@ -123,9 +127,9 @@ def bench_odometry(n_poses=24):
     clouds, gt = _outdoor_scans(n_poses)
     cfg = OdometryConfig(
         scan_capacity=32768, downsample_leaf=0.3,
-        map_leaf=0.6, map_half_extent=76.8, map_capacity=262144,
+        map_leaf=0.5, map_half_extent=128.0, map_capacity=262144,
         ndt=NDTParams(max_iterations=20, coarse_iterations=4),
-        pyramid_factor=0)
+        pyramid_factor=4)
     odo = LidarOdometry(cfg)
     # warm-up on the first two scans (compiles downsample+register+insert)
     poses, log = odo.run(clouds[:2], init_pose=jnp.asarray(gt[0], jnp.float32))
@@ -139,7 +143,31 @@ def bench_odometry(n_poses=24):
     _log(f"config2 odometry: {n_poses/dt:.1f} scans/s end-to-end, "
          f"ate={ate:.3f} m, mean_frac={s['mean_matched_fraction']:.2f}, "
          f"map={int(odo2.map_spec.cells_per_axis)}^3 cells")
+
+    # PP-analog serving path: one donated-state dispatch per scan, async —
+    # the host never syncs mid-stream (pipeline.odometry_jit)
+    import dataclasses as _dc
+
+    import jax
+    from tpu_slam.pipeline.odometry_jit import JitLidarOdometry
+
+    jodo = JitLidarOdometry(_dc.replace(cfg, pyramid_factor=0))
+    jstate = jodo.init_state(clouds[0], jnp.asarray(gt[0], jnp.float32))
+    jstate = jodo.step(jstate, clouds[1])         # compile
+    jax.block_until_ready(jstate.pose)
+    jstate2 = jodo.init_state(clouds[0], jnp.asarray(gt[0], jnp.float32))
+    t0 = time.perf_counter()
+    for c in clouds[1:]:
+        jstate2 = jodo.step(jstate2, c)
+    jax.block_until_ready(jstate2.pose)
+    jdt = time.perf_counter() - t0
+    jerr = float(jnp.linalg.norm(jstate2.pose[:3, 3]
+                                 - jnp.asarray(gt[-1][:3, 3], jnp.float32)))
+    _log(f"config2 jit-odometry (overlapped): {(n_poses-1)/jdt:.1f} scans/s, "
+         f"final position err={jerr:.3f} m")
     return {"scans_per_sec": round(n_poses / dt, 2),
+            "jit_overlapped_scans_per_sec": round((n_poses - 1) / jdt, 2),
+            "jit_final_position_err_m": round(jerr, 4),
             "ate_m": round(float(ate), 4),
             "n_scans": n_poses,
             "raw_rays_per_scan": 65536,
@@ -163,16 +191,16 @@ def bench_ndt_register(reps=30):
     from tpu_slam.registration.ndt import (NDTParams, _ndt_terms, ndt_field,
                                            ndt_register)
 
-    # >=100k-voxel outdoor map built from 12 ring poses
-    clouds, gt = _outdoor_scans(12, seed=7)
-    map_spec = VoxelGridSpec.centered(leaf=0.6, half_extent=76.8)
+    # >=100k-voxel outdoor map built from 20 ring poses
+    clouds, gt = _outdoor_scans(20, seed=7)
+    map_spec = VoxelGridSpec.centered(leaf=0.5, half_extent=128.0)
     vmap = empty_map(262144)
     for c, T in zip(clouds, gt):
         vmap = insert_cloud(vmap, c.transform(jnp.asarray(T, jnp.float32)),
                             map_spec, 0.0)
     n_vox = int(vmap.n_occupied())
 
-    scan_spec = VoxelGridSpec.centered(leaf=0.3, half_extent=76.8)
+    scan_spec = VoxelGridSpec.centered(leaf=0.3, half_extent=128.0)
     scan = voxel_downsample(clouds[0], scan_spec, capacity=32768)
     n_scan = int(scan.count())
     T0 = jnp.asarray(gt[0], jnp.float32)
@@ -336,7 +364,7 @@ def bench_multichip(reps=10):
     from tpu_slam.registration.ndt import NDTParams
 
     clouds, gt = _outdoor_scans(4, n_azimuth=1024, seed=7)
-    spec = VoxelGridSpec.centered(leaf=0.6, half_extent=76.8)
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=128.0)
     xi = jnp.array([0.15, -0.1, 0.05, 0.02, -0.02, 0.04], jnp.float32)
     src = clouds[0].transform(
         se3.compose(jnp.asarray(gt[0], jnp.float32), se3.inverse(se3.exp(xi))))
