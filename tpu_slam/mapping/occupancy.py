@@ -154,6 +154,27 @@ def occupancy_update(grid: OccupancyGrid, keys: jax.Array,
                          log_odds=jnp.take(klo, final))
 
 
+def shift_occupancy_cells(grid: OccupancyGrid, spec: VoxelGridSpec,
+                          shift: jax.Array) -> OccupancyGrid:
+    """Scrolling-window rebase of the occupancy grid (see
+    voxel_map.shift_map_cells): cell c -> c - shift, out-of-window voxels
+    evicted, ``shift`` traced (no recompiles)."""
+    b = spec.dim_bits
+    n = spec.cells_per_axis
+    keys = grid.keys
+    occ = keys != INVALID_KEY
+    cx = ((keys >> (2 * b)) & (n - 1)) - shift[0]
+    cy = ((keys >> b) & (n - 1)) - shift[1]
+    cz = (keys & (n - 1)) - shift[2]
+    inb = (occ & (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+           & (cz >= 0) & (cz < n))
+    new_keys = jnp.where(inb, (cx << (2 * b)) | (cy << b) | cz, INVALID_KEY)
+    order = jnp.argsort(new_keys, stable=True)
+    return OccupancyGrid(
+        keys=jnp.take(new_keys, order),
+        log_odds=jnp.take(jnp.where(inb, grid.log_odds, 0.0), order))
+
+
 def query_log_odds_keys(grid: OccupancyGrid, keys: jax.Array) -> jax.Array:
     """(N,) log-odds for voxel keys; 0 (unknown) where absent."""
     pos = jnp.clip(jnp.searchsorted(grid.keys, keys), 0, grid.capacity - 1)

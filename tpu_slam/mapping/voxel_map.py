@@ -195,6 +195,39 @@ def insert_cloud(vmap: VoxelMap, cloud: PointCloud, spec: VoxelGridSpec,
                              jnp.asarray(stamp, jnp.float32))
 
 
+def shift_map_cells(vmap: VoxelMap, spec: VoxelGridSpec,
+                    shift: jax.Array) -> VoxelMap:
+    """Translate the map contents by ``-shift`` whole cells (scrolling-
+    window rebase): cell c of the old grid becomes cell c - shift; voxels
+    leaving the window are evicted. ``shift`` is a traced (3,) int32 —
+    re-centering never recompiles.
+
+    Voxel-local moments are relative to each cell's corner, so the rebase
+    is exact: only keys change (the world offset the caller tracks absorbs
+    the geometric translation).
+    """
+    b = spec.dim_bits
+    n = spec.cells_per_axis
+    keys = vmap.keys
+    occ = keys != INVALID_KEY
+    cx = ((keys >> (2 * b)) & (n - 1)) - shift[0]
+    cy = ((keys >> b) & (n - 1)) - shift[1]
+    cz = (keys & (n - 1)) - shift[2]
+    inb = (occ & (cx >= 0) & (cx < n) & (cy >= 0) & (cy < n)
+           & (cz >= 0) & (cz < n))
+    new_keys = jnp.where(inb, (cx << (2 * b)) | (cy << b) | cz, INVALID_KEY)
+    dead = ~inb
+    order = jnp.argsort(new_keys, stable=True)
+    take = lambda a: jnp.take(a, order, axis=0)
+    z = lambda a: jnp.where(
+        dead.reshape((-1,) + (1,) * (a.ndim - 1)), 0.0, a)
+    return VoxelMap(keys=take(new_keys),
+                    count=take(z(vmap.count)),
+                    sum_pts=take(z(vmap.sum_pts)),
+                    sum_outer=take(z(vmap.sum_outer)),
+                    stamp=take(jnp.where(dead, -jnp.inf, vmap.stamp)))
+
+
 def evict_where(vmap: VoxelMap, drop: jax.Array) -> VoxelMap:
     """Remove the voxels where ``drop`` is True (e.g. seen-through voxels
     flagged by free-space occupancy evidence — dynamic-object removal).

@@ -30,6 +30,15 @@ class OdometryConfig:
     map_leaf: float = 0.5               # map voxel leaf (m)
     map_half_extent: float = 100.0      # world half-extent covered by keys
     map_capacity: int = 131072          # max occupied voxels
+    scrolling_window: bool = False      # unbounded worlds: the map lives in
+                                        # a sensor-following local window
+                                        # (int32 keys cap a FIXED grid at
+                                        # 1024 cells/axis); re-centering
+                                        # shifts keys by whole cells — a
+                                        # dynamic-shift jit, no recompiles
+    rebase_fraction: float = 0.25       # re-center once the sensor leaves
+                                        # the central (1 - 2f) core of the
+                                        # window
 
     # Registration
     method: str = "ndt"                 # 'ndt' | 'icp_point' | 'icp_plane'
@@ -63,7 +72,16 @@ class OdometryConfig:
     max_pred_translation: float = 0.7   # clamp on CV-extrapolated motion (m)
     max_pred_rotation: float = 0.3      # ... and rotation (rad)
     insert_every: int = 1               # integrate every k-th scan into map
-    min_insert_fraction: float = 0.7    # skip map insert below this quality
+    min_insert_fraction: float = 0.4    # skip map insert below this matched
+                                        # fraction. NOTE: the fraction
+                                        # conflates registration quality
+                                        # with map coverage — when exploring
+                                        # (half the scan faces unmapped
+                                        # space) it sits near 0.5, and a
+                                        # high bar starves the map of
+                                        # exactly the new territory it
+                                        # needs (death spiral: no insert ->
+                                        # lower overlap -> no insert)
     min_accept_fraction: float = 0.3    # below this, reject the registration
                                         # and coast on the prediction
 

@@ -52,6 +52,10 @@ class OdometryState:
     field: object = None
     # log-odds occupancy grid (only with config.use_occupancy)
     occ: object = None
+    # scrolling window: world = local + map_offset. Host-side numpy (exact
+    # leaf multiples; changes only on host-triggered rebase). None when
+    # config.scrolling_window is off — the map grid is then world-fixed.
+    map_offset: Optional[np.ndarray] = None
 
 
 class LidarOdometry:
@@ -71,10 +75,45 @@ class LidarOdometry:
         if self.config.use_occupancy:
             from tpu_slam.mapping.occupancy import empty_occupancy
             occ = empty_occupancy(self.config.occupancy_capacity)
+        offset = None
+        if self.config.scrolling_window:
+            # start with the window centered on the initial pose (local
+            # coordinates of the start are ~0 = the window center)
+            t0 = np.asarray(pose)[:3, 3]
+            leaf = self.config.map_leaf
+            offset = np.round(t0 / leaf) * leaf
         return OdometryState(pose=pose,
                              last_delta=jnp.eye(4, dtype=jnp.float32),
                              vmap=empty_map(self.config.map_capacity),
-                             occ=occ)
+                             occ=occ, map_offset=offset)
+
+    def _to_local(self, T: jax.Array, offset) -> jax.Array:
+        """World -> map-local pose (scrolling window; identity when off)."""
+        if offset is None:
+            return T
+        return T.at[:3, 3].add(-jnp.asarray(offset, jnp.float32))
+
+    def _to_world(self, T: jax.Array, offset) -> jax.Array:
+        if offset is None:
+            return T
+        return T.at[:3, 3].add(jnp.asarray(offset, jnp.float32))
+
+    def _maybe_rebase(self, vmap, occ, field, offset, t_local: np.ndarray):
+        """Re-center the window when the sensor leaves its core (host)."""
+        cfg = self.config
+        half = 0.5 * self.map_spec.extent
+        if np.max(np.abs(t_local)) <= half * (1.0 - 2.0 * cfg.rebase_fraction):
+            return vmap, occ, field, offset
+        from tpu_slam.mapping.voxel_map import shift_map_cells
+        shift = np.round(t_local / cfg.map_leaf).astype(np.int32)
+        vmap = shift_map_cells(vmap, self.map_spec,
+                               jnp.asarray(shift, jnp.int32))
+        if occ is not None:
+            from tpu_slam.mapping.occupancy import shift_occupancy_cells
+            occ = shift_occupancy_cells(occ, self.map_spec,
+                                        jnp.asarray(shift, jnp.int32))
+        offset = offset + shift.astype(np.float64) * cfg.map_leaf
+        return vmap, occ, None, offset   # field cache is stale
 
     def _maintain_occupancy(self, state_occ, vmap, T, scan):
         """Free-space update + seen-through voxel eviction (one dispatch)."""
@@ -182,16 +221,18 @@ class LidarOdometry:
                 # The RAW cloud feeds the map — coarse-downsampled scans
                 # starve per-voxel statistics (NDT Gaussians and normals
                 # need >= min_count points per voxel).
-                world = cloud.transform(state.pose)
+                T0_loc = self._to_local(state.pose, state.map_offset)
+                world = cloud.transform(T0_loc)
                 vmap = insert_cloud(state.vmap, world, self.map_spec,
                                     stamp=0.0)
                 occ = state.occ
                 if cfg.use_occupancy:
                     occ, vmap, _ = self._maintain_occupancy(
-                        occ, vmap, state.pose, scan)
+                        occ, vmap, T0_loc, scan)
                 new_state = OdometryState(pose=state.pose,
                                           last_delta=state.last_delta,
-                                          vmap=vmap, scan_index=1, occ=occ)
+                                          vmap=vmap, scan_index=1, occ=occ,
+                                          map_offset=state.map_offset)
                 m = ScanMetrics(scan_index=0, iterations=0, residual=0.0,
                                 matched_fraction=1.0, wall_time_s=0.0)
                 jax.block_until_ready(vmap.keys)
@@ -199,21 +240,26 @@ class LidarOdometry:
                 self.metrics.append(m)
                 return new_state, m
 
+            offset = state.map_offset
+            pose_loc = self._to_local(state.pose, offset)
+
             # (re)build the cached NDT field(s) only when the map changed
             field = state.field
             if cfg.method == "ndt" and field is None:
-                field = self._build_fields(state.vmap, center=state.pose[:3, 3])
+                field = self._build_fields(state.vmap,
+                                           center=pose_loc[:3, 3])
 
-            init_T = (state.pose @ self._clamped_delta(state.last_delta)
-                      if cfg.use_constant_velocity else state.pose)
+            init_T = (pose_loc @ self._clamped_delta(state.last_delta)
+                      if cfg.use_constant_velocity else pose_loc)
             T, iters, resid, frac = self._register(scan, init_T, state.vmap,
                                                    field)
 
             # ONE device->host sync per scan: every gating decision reads
             # from this batch (scattered float() syncs each pay a full
             # dispatch round-trip — the dominant per-scan cost on remote-
-            # attached TPUs).
-            delta_reg = se3.inverse(state.pose) @ T
+            # attached TPUs). T / init_T are map-local here; the relative
+            # delta is frame-invariant (the offset is a pure translation).
+            delta_reg = se3.inverse(pose_loc) @ T
             xi_reg = se3.log(delta_reg)
             stats = np.asarray(jnp.concatenate([
                 jnp.stack([frac.astype(jnp.float32),
@@ -221,6 +267,7 @@ class LidarOdometry:
                            resid.astype(jnp.float32)]),
                 jnp.stack([jnp.linalg.norm(xi_reg[:3]),
                            jnp.linalg.norm(xi_reg[3:])]),
+                T[:3, 3], init_T[:3, 3],
             ]))
             frac_h, iters_h, resid_h, dt_h, dr_h = (
                 float(stats[0]), float(stats[1]), float(stats[2]),
@@ -232,14 +279,16 @@ class LidarOdometry:
             rejected = frac_h < cfg.min_accept_fraction
             if rejected:
                 T = init_T
-                delta = se3.inverse(state.pose) @ T
+                delta = se3.inverse(pose_loc) @ T
+                t_local = stats[8:11]
             else:
                 delta = delta_reg
+                t_local = stats[5:8]
 
             vmap = state.vmap
             if (state.scan_index % cfg.insert_every == 0 and not rejected
                     and frac_h >= cfg.min_insert_fraction):
-                world = cloud.transform(T)
+                world = cloud.transform(T)          # map-local frame
                 vmap = insert_cloud(vmap, world, self.map_spec,
                                     stamp=float(state.scan_index))
                 field = None  # map changed; invalidate the field cache
@@ -250,6 +299,13 @@ class LidarOdometry:
                     occ, vmap, T, scan)
                 if int(n_evict) > 0:   # one extra sync, feature-gated
                     field = None       # evictions changed the map
+
+            # scrolling window: re-center once the sensor leaves the core
+            if offset is not None:
+                vmap, occ, field, offset = self._maybe_rebase(
+                    vmap, occ, field, offset, t_local)
+
+            T = self._to_world(T, state.map_offset)  # back to world
 
         m = ScanMetrics(
             scan_index=state.scan_index,
@@ -263,7 +319,7 @@ class LidarOdometry:
         self.metrics.append(m)
         new_state = OdometryState(pose=T, last_delta=delta, vmap=vmap,
                                   scan_index=state.scan_index + 1,
-                                  field=field, occ=occ)
+                                  field=field, occ=occ, map_offset=offset)
         return new_state, m
 
     def run(self, clouds, init_pose: Optional[jax.Array] = None

@@ -69,6 +69,13 @@ class SLAMSystem:
     """The full pipeline. Feed aggregated 3D scans; read poses + map."""
 
     def __init__(self, config: SLAMConfig = SLAMConfig()):
+        if config.odometry.scrolling_window:
+            raise ValueError(
+                "SLAMSystem needs a world-fixed map (keyframe clouds are "
+                "re-integrated at optimized world poses after loop "
+                "closures); the scrolling window is LidarOdometry's "
+                "unbounded-world mode — SLAM bounds memory with the "
+                "fixed-lag keyframe window instead")
         self.config = config
         self.odometry = LidarOdometry(config.odometry)
         self.metrics = MetricsLog()
