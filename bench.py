@@ -344,7 +344,7 @@ def bench_full_slam(n_poses=40):
 # Config 5: multi-device sharded NDT scaling (virtual mesh or real slice)
 # ---------------------------------------------------------------------------
 
-def bench_multichip(reps=10):
+def bench_multichip(reps=5):
     import jax
 
     if len(jax.devices()) < 2:
@@ -363,7 +363,7 @@ def bench_multichip(reps=10):
     from tpu_slam.kernels.voxel_hash import VoxelGridSpec
     from tpu_slam.registration.ndt import NDTParams
 
-    clouds, gt = _outdoor_scans(4, n_azimuth=1024, seed=7)
+    clouds, gt = _outdoor_scans(2, n_azimuth=1024, seed=7)
     spec = VoxelGridSpec.centered(leaf=0.5, half_extent=128.0)
     xi = jnp.array([0.15, -0.1, 0.05, 0.02, -0.02, 0.04], jnp.float32)
     src = clouds[0].transform(
@@ -375,7 +375,7 @@ def bench_multichip(reps=10):
     sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
     for n in sizes:
         mesh = make_mesh(n)
-        smap = empty_sharded_map(n, 262144 // n)
+        smap = empty_sharded_map(n, 131072 // n)
         for c, T in zip(clouds, gt):
             smap = insert_cloud_sharded(
                 mesh, smap, c.transform(jnp.asarray(T, jnp.float32)), spec,
