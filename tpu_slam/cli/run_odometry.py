@@ -23,7 +23,15 @@ def _clouds_from_dataset(reader, capacity):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dataset", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--dataset", help="npz dataset directory")
+    src.add_argument("--bag", help="rosbag V2.0 file (PointCloud2 scans; "
+                     "converted in place next to the bag — the reference's "
+                     "bag-replay path, universal_velodyne.launch:49,64)")
+    p.add_argument("--bag-topic", default=None,
+                   help="PointCloud2 topic (default: first found)")
+    p.add_argument("--bag-gt-frame", default=None,
+                   help="TF parent frame to attach as ground truth")
     p.add_argument("--out", default=None, help="trajectory output .npz")
     p.add_argument("--input-capacity", type=int, default=32768)
     add_common_args(p)
@@ -32,7 +40,13 @@ def main(argv=None):
     import jax.numpy as jnp
 
     cfg = apply_overrides(OdometryConfig(), args.set)
-    reader = DatasetReader(args.dataset)
+    dataset = args.dataset
+    if args.bag:
+        from tpu_slam.ingest.rosbag import bag_to_dataset
+        dataset = bag_to_dataset(args.bag, args.bag + ".dataset",
+                                 cloud_topic=args.bag_topic,
+                                 gt_frame=args.bag_gt_frame)
+    reader = DatasetReader(dataset)
     odo = LidarOdometry(cfg)
 
     gt = reader.gt_poses()
