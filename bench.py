@@ -399,6 +399,9 @@ def bench_multichip(reps=5):
 # ---------------------------------------------------------------------------
 
 def main():
+    from tpu_slam.utils.tpu_env import ensure_tpu_compile_env
+    ensure_tpu_compile_env()   # Mosaic compile helper needs the TPU type
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--configs", default="1,2,3,4,5",
                    help="comma-separated subset to run (headline = 3)")

@@ -216,3 +216,46 @@ def test_ndt_field_windowed_matches_full_grid():
     r = ndt_register(src, f_win, big, params=p)
     err = se3.log(se3.compose(se3.inverse(T_q), r.T))
     assert float(jnp.linalg.norm(err[:3])) < 0.02
+
+
+def test_insert_incremental_matches_full_merge():
+    """insert_cloud(incremental=True) must equal the full sort-merge for
+    hit-accumulation, new-key interleaving, and stamps."""
+    rng = np.random.default_rng(7)
+    m_inc = empty_map(4096)
+    m_full = empty_map(4096)
+    for k, z in enumerate([0.0, 0.0, 1.0, 2.0]):
+        c = _plane_cloud(rng, 700, z=z)
+        m_inc = insert_cloud(m_inc, c, SPEC, stamp=float(k),
+                             incremental=True)
+        m_full = insert_cloud(m_full, c, SPEC, stamp=float(k),
+                              incremental=False)
+    np.testing.assert_array_equal(np.asarray(m_inc.keys),
+                                  np.asarray(m_full.keys))
+    np.testing.assert_allclose(np.asarray(m_inc.count),
+                               np.asarray(m_full.count), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_inc.sum_pts),
+                               np.asarray(m_full.sum_pts), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_inc.sum_outer),
+                               np.asarray(m_full.sum_outer), atol=1e-4)
+    occ = np.asarray(m_inc.occupied_mask())
+    np.testing.assert_array_equal(np.asarray(m_inc.stamp)[occ],
+                                  np.asarray(m_full.stamp)[occ])
+
+
+def test_insert_incremental_overflow_fallback():
+    """Over-capacity inserts must still evict-by-stamp exactly like the
+    full merge (the lax.cond fallback)."""
+    rng = np.random.default_rng(8)
+    m_inc = empty_map(96)
+    m_full = empty_map(96)
+    for k, z in enumerate([0.0, 2.0]):
+        c = _plane_cloud(rng, 600, z=z)
+        m_inc = insert_cloud(m_inc, c, SPEC, stamp=float(k),
+                             incremental=True)
+        m_full = insert_cloud(m_full, c, SPEC, stamp=float(k),
+                              incremental=False)
+    np.testing.assert_array_equal(np.asarray(m_inc.keys),
+                                  np.asarray(m_full.keys))
+    np.testing.assert_allclose(np.asarray(m_inc.count),
+                               np.asarray(m_full.count), rtol=1e-6)

@@ -187,10 +187,110 @@ def insert_scan_stats(vmap: VoxelMap, keys: jax.Array, count: jax.Array,
     )
 
 
+@functools.partial(jax.jit, donate_argnums=0, static_argnames=("new_cap",))
+def insert_scan_stats_incremental(vmap: VoxelMap, keys: jax.Array,
+                                  count: jax.Array, sum_pts: jax.Array,
+                                  sum_outer: jax.Array, stamp: jax.Array,
+                                  new_cap: int = 8192) -> VoxelMap:
+    """Incremental merge: in-place accumulate hits, gather-merge new keys.
+
+    The full merge (insert_scan_stats) re-sorts capacity+scan keys with the
+    whole moment payload every scan — measured 112.8 ms/scan on v5e at
+    262k+65k (round-2 bench), almost all of it in erratic XLA sort/gather
+    paths. A scan only touches ~1-2k voxels, so this path does the minimal
+    work instead, built ONLY from primitives that measured fast and stable
+    on the chip (searchsorted, sub-132k-index takes, dense elementwise):
+
+      1. hits: binary-search each map key in the (sorted, compacted) scan
+         aggregates; accumulate moments with a DENSE masked add — no
+         scatter (XLA scatters measured 0.03..9 ms run-to-run);
+      2. new keys: compact the first ``new_cap`` misses, then MERGE BY
+         GATHER — for output slot k, count new keys placed at or before k
+         via searchsorted and select from either the old map or the new
+         rows; both source orders are monotone so no sort is needed;
+      3. over-capacity or >new_cap new keys (cold start): fall back to the
+         exact full merge inside lax.cond — same results, rare.
+
+    Keeps the sorted-keys/INVALID-tail invariant exactly.
+    """
+    C = vmap.capacity
+    s_cap = keys.shape[0]
+    valid = keys != INVALID_KEY
+    occ = vmap.occupied_mask()
+
+    # -- 1. hits ------------------------------------------------------------
+    pos = jnp.clip(jnp.searchsorted(keys, vmap.keys), 0, s_cap - 1)
+    hit = (jnp.take(keys, pos) == vmap.keys) & occ
+    upd_cnt = jnp.take(count, pos)
+    upd_sum = jnp.take(sum_pts, pos, axis=0)
+    upd_out = jnp.take(sum_outer, pos, axis=0)
+    h = hit.astype(jnp.float32)
+    new_count = vmap.count + h * upd_cnt
+    new_sum = vmap.sum_pts + h[:, None] * upd_sum
+    new_outer = vmap.sum_outer + h[:, None, None] * upd_out
+    new_stamp = jnp.where(hit, jnp.maximum(vmap.stamp, stamp), vmap.stamp)
+
+    # -- 2. new keys --------------------------------------------------------
+    mpos = jnp.clip(jnp.searchsorted(vmap.keys, keys), 0, C - 1)
+    found = jnp.take(vmap.keys, mpos) == keys
+    is_new = valid & ~found
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    n_occ = jnp.sum(occ.astype(jnp.int32))
+    new_cap = min(new_cap, s_cap)
+    overflow = (n_new > new_cap) | (n_occ + n_new > C)
+
+    # compact the first new_cap new rows (already key-sorted)
+    order = jnp.argsort(~is_new, stable=True)[:new_cap]
+    nk = jnp.where(jnp.take(is_new, order), jnp.take(keys, order),
+                   INVALID_KEY)
+    nc = jnp.take(count, order)
+    ns = jnp.take(sum_pts, order, axis=0)
+    no = jnp.take(sum_outer, order, axis=0)
+
+    def merged() -> VoxelMap:
+        # destination of new row j: its insertion point among old keys plus
+        # its own rank; INVALID rows land past the end and are never read
+        ins = jnp.searchsorted(vmap.keys, nk).astype(jnp.int32)
+        rank = jnp.arange(new_cap, dtype=jnp.int32)
+        dest = jnp.where(nk != INVALID_KEY, ins + rank, C + new_cap)
+        k_out = jnp.arange(C, dtype=jnp.int32)
+        r = jnp.searchsorted(dest, k_out).astype(jnp.int32)   # 'left'
+        rc = jnp.clip(r, 0, new_cap - 1)
+        take_new = jnp.take(dest, rc) == k_out
+        msrc = jnp.clip(k_out - r, 0, C - 1)
+
+        def pick(new_a, old_a):
+            nv = jnp.take(new_a, rc, axis=0)
+            ov = jnp.take(old_a, msrc, axis=0)
+            m = take_new.reshape((-1,) + (1,) * (new_a.ndim - 1))
+            return jnp.where(m, nv, ov)
+
+        return VoxelMap(
+            keys=pick(nk, vmap.keys),
+            count=pick(nc, new_count),
+            sum_pts=pick(ns, new_sum),
+            sum_outer=pick(no, new_outer),
+            stamp=pick(jnp.where(nk != INVALID_KEY, stamp, -jnp.inf),
+                       new_stamp))
+
+    def fallback() -> VoxelMap:
+        # exact full merge of ALL aggregates into the original (pre-hit)
+        # map values — the dense adds above are separate traced values, so
+        # vmap.* still names the inputs here
+        return insert_scan_stats(vmap, keys, count, sum_pts, sum_outer,
+                                 stamp)
+
+    return jax.lax.cond(overflow, fallback, merged)
+
+
 def insert_cloud(vmap: VoxelMap, cloud: PointCloud, spec: VoxelGridSpec,
-                 stamp: float | jax.Array = 0.0) -> VoxelMap:
+                 stamp: float | jax.Array = 0.0,
+                 incremental: bool = True) -> VoxelMap:
     """Integrate a (world-frame) cloud into the map."""
     keys, cnt, ssum, souter = scan_to_voxel_stats(cloud, spec)
+    if incremental:
+        return insert_scan_stats_incremental(
+            vmap, keys, cnt, ssum, souter, jnp.asarray(stamp, jnp.float32))
     return insert_scan_stats(vmap, keys, cnt, ssum, souter,
                              jnp.asarray(stamp, jnp.float32))
 

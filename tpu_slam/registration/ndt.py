@@ -80,6 +80,13 @@ class NDTParams:
                                      # cells per axis, centered on the scan
                                      # (see _ndt_field_dense). 0 disables the
                                      # dense build path.
+    terms_impl: str = "auto"         # terms-pass backend: 'auto' (Pallas on
+                                     # TPU, XLA gathers elsewhere), 'xla',
+                                     # 'pallas', 'pallas_interpret' (tests)
+    raster_q: int = 4                # per-cell point capacity of the terms
+                                     # raster (kernels.ndt_terms); cells with
+                                     # more downsampled points than this drop
+                                     # the excess from the objective
 
 
 @jax.tree_util.register_dataclass
@@ -122,6 +129,10 @@ class NDTField:
     # table is world cell ``origin_cell`` (dynamic — the window follows the
     # scan without recompilation).
     nbr_rows: Optional[jax.Array] = None  # (G, 144) or (G, 48) float32
+    # Channel-major plane tensor (Wx, 16, Wy*Wz) for the Pallas raster-terms
+    # kernel (kernels.ndt_terms) — built instead of nbr_rows when the
+    # Pallas path is active; ~9x smaller than the tier-9 pack.
+    planes: Optional[jax.Array] = None
     origin_cell: Optional[jax.Array] = None  # (3,) int32; None = grid corner
     # Static window shape (Wx, Wy, Wz) of nbr_rows. None = cube inferred
     # from the row count (the single-chip build). The sharded build uses
@@ -159,7 +170,8 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
     window (half-extent ``2^(window_bits-1) * leaf`` around the center),
     which is the locality a scan-to-map step has anyway.
     """
-    if (_pack_tier(params, min(spec.dim_bits, params.window_bits))
+    wb = min(spec.dim_bits, params.window_bits)
+    if ((_pack_tier(params, wb) or (_use_pallas(params) and wb >= 4))
             and params.use_neighborhood):
         return _ndt_field_dense(vmap, spec, params, center)
     lookup = None
@@ -199,6 +211,15 @@ def _pack_tier(params: NDTParams, wb: int) -> int:
     if g * 48 * 4 <= budget:
         return 3
     return 0
+
+
+def _use_pallas(params: NDTParams) -> bool:
+    """Whether the terms pass runs the Pallas raster kernel."""
+    if params.terms_impl in ("pallas", "pallas_interpret"):
+        return True
+    if params.terms_impl == "xla":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _shift0(x: jax.Array, delta: int, axis: int) -> jax.Array:
@@ -369,7 +390,16 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
         + [valid[:, None].astype(jnp.float32),
            jnp.zeros((g, 6), jnp.float32)], axis=1)
     rows16 = jnp.where(valid[:, None], rows16, 0.0)
-    nbr_rows = _pack_neighbor_rows(rows16, (w, w, w), tier)
+    planes = None
+    if _use_pallas(params) and wb >= 4:
+        # Pallas raster-terms path: channel-major planes replace the 9x
+        # neighbor-packed table (roll-pack of (G,144) costs ~300 MB of
+        # traffic per build and the kernel never reads it)
+        from tpu_slam.kernels.ndt_terms import rows_to_planes
+        nbr_rows = None
+        planes = rows_to_planes(rows16, (w, w, w))
+    else:
+        nbr_rows = _pack_neighbor_rows(rows16, (w, w, w), tier)
 
     # sparse per-slot views for fallback consumers (loop-closure scoring,
     # map_shard-style code): gather each map slot's row out of the window
@@ -388,6 +418,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
         jnp.zeros((vmap.capacity, 6), jnp.float32)], axis=1)
     return NDTField(keys=keys, means=s_means, info=s_info, valid=s_valid,
                     lookup=None, packed=packed, nbr_rows=nbr_rows,
+                    planes=planes,
                     origin_cell=c0, window_dims=(w, w, w))
 
 
@@ -601,10 +632,37 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
     if init_T is None:
         init_T = jnp.eye(4, dtype=source.points.dtype)
     src = source.sanitize()
+    use_kernel = _use_pallas(params) and field.planes is not None
+    n_src_pts = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
 
     def lm_solve(T0, gamma, max_iters, tol, isotropic=False):
-        H0, b0, cost0, frac0 = _ndt_terms(src, T0, field, spec, params,
-                                          gamma, isotropic)
+        if use_kernel and not isotropic:
+            # Pallas raster path: bin the scan ONCE at the stage-start pose
+            # (kernels.ndt_terms — frozen bins, live gate), then every LM
+            # evaluation is the dense plane-sweep kernel.
+            from tpu_slam.kernels.ndt_terms import (build_terms_raster,
+                                                    ndt_terms_raster)
+            dims = field.window_dims
+            c0 = (field.origin_cell if field.origin_cell is not None
+                  else jnp.zeros((3,), jnp.int32))
+            origin_w = (jnp.asarray(spec.origin, jnp.float32)
+                        + c0.astype(jnp.float32) * spec.leaf)
+            raster, _ = build_terms_raster(
+                src.points, src.mask, T0, origin_w, spec.leaf, dims,
+                params.raster_q)
+
+            def terms(T):
+                H, b, cost, cnt = ndt_terms_raster(
+                    raster, field.planes, T, gamma, params.max_corr_dist,
+                    dims, params.raster_q,
+                    interpret=params.terms_impl == "pallas_interpret")
+                return H, b, cost, cnt / n_src_pts
+        else:
+            def terms(T):
+                return _ndt_terms(src, T, field, spec, params, gamma,
+                                  isotropic)
+
+        H0, b0, cost0, frac0 = terms(T0)
 
         def cond(state):
             T, lam_lm, cost, H, b, frac, it, dx = state
@@ -617,8 +675,7 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
             xi = -jnp.linalg.solve(Hd, b)
             xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
             T_try = se3.retract(T, xi)
-            H_t, b_t, cost_t, frac_t = _ndt_terms(src, T_try, field, spec,
-                                                  params, gamma, isotropic)
+            H_t, b_t, cost_t, frac_t = terms(T_try)
             accept = cost_t < cost
             T_n = jnp.where(accept, T_try, T)
             lam_n = jnp.where(accept, jnp.maximum(lam_lm / 3.0, 1e-7),
