@@ -45,7 +45,7 @@ def main():
     rows[:, 3] = rows[:, 6] = rows[:, 8] = 25.0     # isotropic Lambda
     rows[:, 9] = occ
     rows16 = jnp.asarray(rows)
-    planes = rows_to_planes(rows16, DIMS)
+    planes = jax.block_until_ready(rows_to_planes(rows16, DIMS))
 
     pts = jnp.asarray(rng.uniform(1.0, 31.0, (N, 3)), jnp.float32)
     mask = jnp.ones((N,), bool)
@@ -67,10 +67,13 @@ def main():
     print("H[0,0]", float(out[0][0, 0]), "cost", float(out[2]),
           "matched", int(out[3]))
 
+    t_p = timeit("rows_to_planes relayout (XLA)",
+                 lambda: rows_to_planes(rows16, DIMS), reps=10)
+
     hbm_bytes = (g * 16 * 4) * 3 + g * Q * 4 * 4
     print(f"HBM model: {hbm_bytes/1e6:.1f} MB -> floor "
           f"{hbm_bytes/819e9*1e6:.0f} us")
-    lane_ops = 27 * g * Q * 35
+    lane_ops = 27 * g * Q * 38
     print(f"VPU model: {lane_ops/1e9:.2f} G lane-ops -> floor "
           f"~{lane_ops/3.85e12*1e6:.0f} us")
     print(f"kernel at {hbm_bytes/819e9/t_k*100:.0f}% of HBM floor, "

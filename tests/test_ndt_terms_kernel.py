@@ -12,7 +12,7 @@ import pytest
 
 from tpu_slam.kernels.ndt_terms import (build_terms_raster, ndt_terms_raster,
                                         ndt_terms_raster_reference,
-                                        rows_to_planes)
+                                        raster_to_slots, rows_to_planes)
 
 DIMS = (8, 8, 16)          # Wy*Wz = 128 = one lane tile
 Q = 2
@@ -57,15 +57,13 @@ def test_raster_build_places_points():
     raster, dropped = build_terms_raster(
         pts, mask, T0, jnp.zeros(3), LEAF, DIMS, Q)
     wx, wy, wz = DIMS
-    assert raster.shape == (wx, 4 * Q, wy * wz)
+    assert raster.shape == (wx, 4 * Q, 8, wy * wz // 8)
+    slots = np.asarray(raster_to_slots(raster, DIMS, Q))
     # every kept point appears exactly once with w=1
-    w = np.asarray(raster).reshape(wx, Q, 4, wy * wz)[:, :, 3, :]
-    n_placed = int(w.sum())
+    n_placed = int(slots[:, 3].sum())
     assert n_placed + int(dropped) == int(mask.sum())
     # round-trip: collect placed coordinates, compare as sets
-    ra = np.asarray(raster).reshape(wx, Q, 4, wy * wz)
-    placed = ra.transpose(0, 3, 1, 2).reshape(-1, 4)
-    placed = placed[placed[:, 3] > 0.5][:, :3]
+    placed = slots[slots[:, 3] > 0.5][:, :3]
     orig = np.asarray(pts)[np.asarray(mask)]
     # with Q=2 some cells may overflow; every placed point must be an
     # original point
@@ -79,9 +77,8 @@ def test_raster_respects_pose_binning():
     shift = jnp.eye(4).at[0, 3].set(0.9)
     raster, _ = build_terms_raster(pts, mask, shift, jnp.zeros(3), LEAF,
                                    DIMS, Q)
-    ra = np.asarray(raster).reshape(DIMS[0], Q, 4, DIMS[1] * DIMS[2])
-    placed = ra.transpose(0, 3, 1, 2).reshape(-1, 4)
-    placed = placed[placed[:, 3] > 0.5][:, :3]
+    slots = np.asarray(raster_to_slots(raster, DIMS, Q))
+    placed = slots[slots[:, 3] > 0.5][:, :3]
     orig = np.asarray(pts)[np.asarray(mask)]
     d = np.linalg.norm(placed[:, None, :] - orig[None, :, :], axis=2)
     assert (d.min(axis=1) < 1e-6).all()          # source frame preserved

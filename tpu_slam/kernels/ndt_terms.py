@@ -2,21 +2,30 @@
 
 The reference's CUDA core evaluated NDT correspondences with per-point
 grid-hash gathers (SURVEY.md §2.2); XLA `jnp.take` emulations of that
-pattern run at ~1-2% of HBM speed-of-light on TPU (gather throughput is
-erratic and index-cost-bound — measured in benchmarks/_take_probe.py).
-This kernel removes gathers from the hot path entirely by making BOTH
-sides of the correspondence dense and grid-aligned:
+pattern run at ~1-2% of roofline on TPU.  This kernel removes gathers from
+the hot path entirely by making BOTH sides of the correspondence dense and
+grid-aligned, in a layout chosen so every vector op uses FULL (8, 128)
+vregs (the v1 kernel computed on (1, L) slices — 1/8 sublane utilization —
+and measured 10 ms/pass; this layout is the fix):
 
-  * the NDT field is already a dense window of Gaussian rows
-    (registration.ndt._ndt_field_dense), laid out channel-major per
-    x-plane: ``rows`` (Wx, 16, Wy*Wz);
+  * window cells (x, y, z) map to  plane = x,  sublane = z % 8,
+    lane = y * (Wz/8) + z // 8.  A whole x-plane is one (8, L8) tile set,
+    L8 = Wy*Wz/8 lanes (multiple of 128).
+  * the NDT field is a dense plane tensor ``planes`` (Wx, 16, 8, L8):
+    channels 0-2 mean (world), 3-8 information triu, 9 valid;
   * the scan is binned ONCE per solve stage into a raster of the same
-    window: ``raster`` (Wx, 4*Q, Wy*Wz) holding up to Q points per cell
-    (slot = cell * Q + rank, build_terms_raster);
-  * each terms pass sweeps x-planes; the 27-neighborhood becomes three
-    plane inputs (x-1, x, x+1 via clamped BlockSpec index maps) and nine
-    STATIC lane shifts (dy*Wz + dz) of each plane — pure VPU math over
-    Wy*Wz lanes, no indices anywhere.
+    shape (Wx, 4*Q, 8, L8): channel row c*Q + q holds coordinate c of the
+    cell's rank-q point (c = x, y, z, valid-weight), so the per-q point
+    arrays are full (8, L8) tiles too;
+  * the 27-neighborhood becomes 3 plane refs (x-1, x, x+1 via clamped
+    BlockSpec index maps) x 3 sublane shifts-with-carry (dz) x 3 lane
+    rolls (dy) — all STATIC shifts, no gathers, no dynamic control flow.
+
+The raster build does the sparse work (binning) with ops this chip is
+actually fast at — argsort, takes, scatter-min, scalar scatter-sets, all
+measured 0.03-0.07 ms at 32k points — and none it is slow at (cumulative
+scans cost 2.5-60 ms at this size; v1's rank-by-cummax was the entire
+102 ms build cost).
 
 Objective (identical math to registration.ndt._ndt_terms, with bins frozen
 at the stage-start pose T0):
@@ -28,11 +37,13 @@ at the stage-start pose T0):
 Freezing the bin (not the gate — the Euclidean gate tracks the live pose)
 keeps every LM iteration minimizing ONE well-defined objective; within a
 stage the pose moves far less than a cell, so the frozen 27-neighborhood
-loses nothing. Each solve stage re-bins at its own entry pose.
+loses nothing.  Each solve stage re-bins at its own entry pose.
 
-Per-pass cost model (W=64, Q=4, f32): streams raster 16.8 MB + rows
-3x16.8 MB + partials -> HBM floor ~80 us; VPU does 27 * G * Q * ~35 ops
-~ 1.0e9 lane-ops -> ~250 us compute floor. See docs/roofline.md.
+Per-pass roofline (W=64^3, Q=4, f32): HBM streams raster 16.8 MB +
+3x16.8 MB plane reads -> ~82 us floor; VPU does 27 * G * Q * ~38 lane-ops
+~ 1.1e9 -> ~280 us floor at 4 ops/lane/cycle.  The kernel is VPU-bound
+(pure elementwise math, nothing for the MXU); speed of light is the
+compute floor, not the HBM floor.  See docs/roofline.md.
 """
 
 from __future__ import annotations
@@ -46,85 +57,144 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _split_dims(dims: Tuple[int, int, int]) -> Tuple[int, int, int, int]:
+    wx, wy, wz = dims
+    if wx % 8 != 0:
+        raise ValueError(f"Wx must be a multiple of 8 (got {wx}): the "
+                         "(8, 32) SMEM output block spans 8 planes")
+    if wz % 8 != 0:
+        raise ValueError(f"Wz must be a multiple of 8 (got {wz}): z%8 is "
+                         "the sublane index")
+    wz8 = wz // 8
+    l8 = wy * wz8
+    # l8 need not be a multiple of 128 (Mosaic masks the lane tail), but
+    # production windows should keep it aligned for full-lane vregs.
+    return wx, wy, wz8, l8
+
+
 # ---------------------------------------------------------------------------
 # Raster build (XLA; once per solve stage, amortized over ~10-30 passes)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("dims", "q_cap"))
 def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
                        origin_world: jax.Array, leaf: float,
                        dims: Tuple[int, int, int], q_cap: int
                        ) -> Tuple[jax.Array, jax.Array]:
-    """Bin the scan (at pose T0) into the dense window raster.
+    """Bin the scan (at pose T0) into the kernel-layout raster.
 
     points (N, 3) source-frame; origin_world (3,) = world coordinate of
-    window cell (0,0,0)'s corner. Returns (raster (Wx, 4*Q, Wy*Wz) f32
+    window cell (0,0,0)'s corner.  Returns (raster (Wx, 4*Q, 8, L8) f32
     holding SOURCE-frame points + validity, n_dropped () int32 — points in
-    cells that exceeded the per-cell capacity Q and points outside the
-    window at T0; both never enter the objective).
+    cells that exceeded the per-cell capacity Q plus points outside the
+    window at T0; neither enters the objective).
 
-    The raster stores source-frame coordinates; the kernel applies the live
-    pose T each pass, so one raster serves a whole LM stage.
+    The raster stores source-frame coordinates; the kernel applies the
+    live pose T each pass, so one raster serves a whole LM stage.
     """
     wx, wy, wz = dims
+    _, _, wz8, l8 = _split_dims(dims)
     g = wx * wy * wz
     n = points.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+
     pts_w = points @ T0[:3, :3].T + T0[:3, 3]
     cc = jnp.floor((pts_w - origin_world) / leaf).astype(jnp.int32)
     inside = (mask & (cc[:, 0] >= 0) & (cc[:, 0] < wx)
               & (cc[:, 1] >= 0) & (cc[:, 1] < wy)
               & (cc[:, 2] >= 0) & (cc[:, 2] < wz))
-    lidx = (cc[:, 0] * wy + cc[:, 1]) * wz + cc[:, 2]
-    lidx = jnp.where(inside, lidx, g)
+    cell = (cc[:, 0] * wy + cc[:, 1]) * wz + cc[:, 2]
+    cell = jnp.where(inside, cell, g)
 
-    order = jnp.argsort(lidx, stable=True)
-    sl = jnp.take(lidx, order)
+    # group points of a cell contiguously; rank = position within group.
+    # The rank comes from a scatter-min + gather (first index per cell),
+    # NOT a cumulative scan — scans are the one slow primitive here.
+    order = jnp.argsort(cell, stable=True)
+    sc = jnp.take(cell, order)
     sp = jnp.take(points, order, axis=0)
-    sin = jnp.take(inside, order)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), sl[1:] != sl[:-1]])
-    seg_start = jnp.maximum.accumulate(jnp.where(is_start, idx, 0))
-    rank = idx - seg_start
-    keep = sin & (rank < q_cap)
-    slot = jnp.where(keep, sl * q_cap + rank, g * q_cap)
-    n_dropped = jnp.sum((mask).astype(jnp.int32)) - jnp.sum(
-        keep.astype(jnp.int32))
+    first = jnp.full((g + 1,), n, jnp.int32).at[sc].min(
+        idx, mode="drop", indices_are_sorted=True)
+    rank = idx - jnp.take(first, sc)
+    keep = (sc < g) & (rank < q_cap)
 
-    rows = jnp.concatenate([sp, jnp.ones((n, 1), jnp.float32)], axis=1)
-    flat = jnp.zeros((g * q_cap + 1, 4), jnp.float32)
-    # slots are sorted and unique by construction (cell*Q + rank over the
-    # sorted order) — the hints keep XLA on its fast scatter path
-    flat = flat.at[slot].set(jnp.where(keep[:, None], rows, 0.0),
-                             mode="drop", unique_indices=True,
-                             indices_are_sorted=True)
-    # (G, Q, 4) -> (Wx, Wy*Wz, Q, 4) -> (Wx, Q*4, Wy*Wz)
-    raster = flat[:g * q_cap].reshape(wx, wy * wz, q_cap, 4)
-    raster = jnp.transpose(raster, (0, 2, 3, 1)).reshape(
-        wx, q_cap * 4, wy * wz)
+    # kernel-layout target: plane x, channel row c*Q + rank, sublane z%8,
+    # lane y*Wz8 + z//8 — four scalar scatters, one per coordinate channel
+    wyz = wy * wz
+    scx = sc // wyz
+    rem = sc - scx * wyz
+    scy = rem // wz
+    scz = rem - scy * wz
+    s8 = jax.lax.rem(scz, 8)
+    lane = scy * wz8 + scz // 8
+    total = wx * (4 * q_cap) * 8 * l8
+    flat = jnp.zeros((total + 1,), jnp.float32)
+    vals = (sp[:, 0], sp[:, 1], sp[:, 2],
+            jnp.ones((n,), jnp.float32))
+    for c in range(4):
+        row = c * q_cap + rank
+        tgt = ((scx * (4 * q_cap) + row) * 8 + s8) * l8 + lane
+        tgt = jnp.where(keep, tgt, total)
+        flat = flat.at[tgt].set(jnp.where(keep, vals[c], 0.0), mode="drop",
+                                unique_indices=True)
+    raster = flat[:total].reshape(wx, 4 * q_cap, 8, l8)
+    n_dropped = (jnp.sum(mask.astype(jnp.int32))
+                 - jnp.sum(keep.astype(jnp.int32)))
     return raster, n_dropped
 
 
 def rows_to_planes(rows16: jax.Array, dims: Tuple[int, int, int]
                    ) -> jax.Array:
-    """(G, 16) field rows -> (Wx, 16, Wy*Wz) channel-major plane tensor."""
-    wx, wy, wz = dims
-    return jnp.transpose(rows16.reshape(wx, wy * wz, 16), (0, 2, 1))
+    """(G, 16) x-major field rows -> (Wx, 16, 8, L8) kernel plane tensor."""
+    wx, wy, _ = dims
+    _, _, wz8, l8 = _split_dims(dims)
+    r = rows16.reshape(wx, wy, wz8, 8, 16)
+    return jnp.transpose(r, (0, 4, 3, 1, 2)).reshape(wx, 16, 8, l8)
 
 
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
 
+def _shift_zy(x: jax.Array, dz, dy, wz8: int, sub: jax.Array) -> jax.Array:
+    """out[s, l] = x at the cell whose (y, z) index is (y + dy, z + dz).
+
+    z = z8*8 + s with z8 = l % Wz8 on lanes: a +-1 z step is a sublane
+    roll, with the s-boundary carry (sublane 7 for dz=+1, 0 for dz=-1)
+    taking its value from an extra lane-rolled copy; a y step folds into
+    the same lane rolls.  dz/dy may be python ints (static shifts — the
+    fast Mosaic lowering) or traced scalars (fori_loop over offsets — the
+    compact graph the interpret-mode tests need).  Out-of-range wrap is
+    masked by the caller's bounds mask.
+    """
+    l8 = x.shape[1]
+    if isinstance(dz, int):
+        a = pltpu.roll(x, (-dz) % 8, axis=0) if dz else x
+        a2 = pltpu.roll(a, (-dy * wz8) % l8, axis=1) if dy else a
+        if dz == 0:
+            return a2
+        b2 = pltpu.roll(a, (-dy * wz8 - dz) % l8, axis=1)
+        return jnp.where(sub == (7 if dz > 0 else 0), b2, a2)
+    a = pltpu.roll(x, jnp.mod(-dz, 8), axis=0)      # a[s,l] = x[(s+dz)%8,l]
+    a2 = pltpu.roll(a, jnp.mod(-dy * wz8, l8), axis=1)
+    b2 = pltpu.roll(a, jnp.mod(-dy * wz8 - dz, l8), axis=1)
+    # carry sublane: 7 for dz=+1, 0 for dz=-1, none (-1 sentinel) for dz=0
+    edge = jnp.where(dz > 0, 7, jnp.where(dz < 0, 0, -1))
+    return jnp.where(sub == edge, b2, a2)
+
+
 def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
-                  *, q_cap: int, wy: int, wz: int, n_wx: int):
+                  *, q_cap: int, wy: int, wz: int, n_wx: int,
+                  unroll_offsets: bool):
     """One x-plane of the frozen-bin NDT terms pass.
 
-    scal_ref  (1, 24) SMEM: [T row-major (16), gamma, max_corr_dist^2] + pad
-    raster_ref (1, 4Q, L): source-frame points of this plane's cells
-    rm/r0/rp  (1, 16, L): Gaussian rows of planes x-1, x, x+1 (clamped)
-    out_ref   (1, 128): [H triu (21), b (6), cost, matched, dropped...] pad
+    scal_ref  (1, 24) SMEM: [T row-major (12), pad, gamma, maxd^2] + pad
+    raster_ref (1, 4Q, 8, L8): source-frame points of this plane's cells
+    rm/r0/rp  (1, 16, 8, L8): field planes x-1, x, x+1 (edge-clamped)
+    out_ref   (8, 32) SMEM: row i%8 = [H triu (21), b (6), cost, matched]
     """
     i = pl.program_id(0)
-    L = wy * wz
+    wz8 = wz // 8
+    l8 = wy * wz8
     t00, t01, t02, t03 = (scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
                           scal_ref[0, 3])
     t10, t11, t12, t13 = (scal_ref[0, 4], scal_ref[0, 5], scal_ref[0, 6],
@@ -134,44 +204,41 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
     inv_2g = scal_ref[0, 16]          # 1 / (2 * gamma)
     maxd2 = scal_ref[0, 17]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    y_lane = lane // wz
-    z_lane = lane - y_lane * wz
-
-    planes = [rm_ref[0], r0_ref[0], rp_ref[0]]       # each (16, L)
-    dx_ok = [i > 0, jnp.full((), True), i < n_wx - 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, l8), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, l8), 0)
+    z8 = jax.lax.rem(lane, wz8)
+    z_i = z8 * 8 + sub
+    y_i = lane // wz8
 
     # transformed points, per sub-slot q: p' = R p + t
     pxs, pys, pzs, pws = [], [], [], []
     for q in range(q_cap):
-        px = raster_ref[0, 4 * q, :].reshape(1, L)
-        py = raster_ref[0, 4 * q + 1, :].reshape(1, L)
-        pz = raster_ref[0, 4 * q + 2, :].reshape(1, L)
-        pw = raster_ref[0, 4 * q + 3, :].reshape(1, L)
+        px = raster_ref[0, q]
+        py = raster_ref[0, q_cap + q]
+        pz = raster_ref[0, 2 * q_cap + q]
         pxs.append(t00 * px + t01 * py + t02 * pz + t03)
         pys.append(t10 * px + t11 * py + t12 * pz + t13)
         pzs.append(t20 * px + t21 * py + t22 * pz + t23)
-        pws.append(pw)
+        pws.append(raster_ref[0, 3 * q_cap + q])
 
-    zero = jnp.zeros((1, L), jnp.float32)
-    # flat accumulator carry: per q, [y0 y1 y2 c00 c01 c02 c11 c12 c22 s m]
-    acc0 = tuple(zero for _ in range(q_cap * 11))
+    zero = jnp.zeros((8, l8), jnp.float32)
+    # per q: [y0 y1 y2 c00 c01 c02 c11 c12 c22 s m]
+    acc = [zero] * (q_cap * 11)
 
-    def offset_body(k, acc, plane, ok_x):
-        # k in [0, 9): dy = k//3 - 1, dz = k%3 - 1; lane shift dy*wz + dz.
-        # pltpu.roll with a traced shift keeps the 9 offsets as ONE loop
-        # body (an unrolled version compiled 27x the program and took the
-        # Mosaic backend >15 min at W=64).
-        dy = k // 3 - 1
-        dz = jax.lax.rem(k, 3) - 1
-        sh = dy * wz + dz
-        sub = pltpu.roll(plane, -sh, axis=1)
-        ok_yz = ((y_lane + dy >= 0) & (y_lane + dy < wy)
-                 & (z_lane + dz >= 0) & (z_lane + dz < wz))
-        okd = ok_yz & ok_x & (sub[9:10, :] > 0.5)
-        mu0, mu1, mu2 = sub[0:1, :], sub[1:2, :], sub[2:3, :]
-        l00, l01, l02 = sub[3:4, :], sub[4:5, :], sub[5:6, :]
-        l11, l12, l22 = sub[6:7, :], sub[7:8, :], sub[8:9, :]
+    def offset_body(k, acc, xref, ok_x):
+        # k in [0, 9): dy = k//3 - 1, dz = k%3 - 1 (python or traced)
+        if isinstance(k, int):
+            dy, dz = k // 3 - 1, k % 3 - 1
+        else:
+            dy = k // 3 - 1
+            dz = jax.lax.rem(k, 3) - 1
+        ch = [_shift_zy(xref[0, c], dz, dy, wz8, sub) for c in range(10)]
+        ok_yz = ((z_i + dz >= 0) & (z_i + dz < wz)
+                 & (y_i + dy >= 0) & (y_i + dy < wy))
+        okd = ok_yz & ok_x & (ch[9] > 0.5)
+        mu0, mu1, mu2 = ch[0], ch[1], ch[2]
+        l00, l01, l02 = ch[3], ch[4], ch[5]
+        l11, l12, l22 = ch[6], ch[7], ch[8]
         out = list(acc)
         for q in range(q_cap):
             r0 = pxs[q] - mu0
@@ -183,8 +250,8 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
             d2 = q0 * r0 + q1 * r1 + q2 * r2
             de2 = r0 * r0 + r1 * r1 + r2 * r2
             gate = okd & (de2 < maxd2) & (pws[q] > 0.5)
-            s = jnp.where(gate,
-                          jnp.exp(-jnp.minimum(d2 * inv_2g, 30.0)), 0.0)
+            s = jnp.where(
+                gate, jnp.exp(-jnp.minimum(d2 * inv_2g, 30.0)), 0.0)
             o = 11 * q
             out[o + 0] = out[o + 0] + s * q0
             out[o + 1] = out[o + 1] + s * q1
@@ -200,33 +267,36 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
                                       gate.astype(jnp.float32))
         return tuple(out)
 
-    acc = acc0
-    for plane, ok_x in zip(planes, dx_ok):
-        acc = jax.lax.fori_loop(
-            0, 9, functools.partial(offset_body, plane=plane, ok_x=ok_x),
-            acc)
-    acc_y = [[acc[11 * q + 0], acc[11 * q + 1], acc[11 * q + 2]]
-             for q in range(q_cap)]
-    acc_l = [[acc[11 * q + 3], acc[11 * q + 4], acc[11 * q + 5],
-              acc[11 * q + 6], acc[11 * q + 7], acc[11 * q + 8]]
-             for q in range(q_cap)]
-    acc_s = [acc[11 * q + 9] for q in range(q_cap)]
-    acc_m = [acc[11 * q + 10] for q in range(q_cap)]
+    acc = tuple(acc)
+    for xref, ok_x in ((rm_ref, i > 0), (r0_ref, jnp.full((), True)),
+                       (rp_ref, i < n_wx - 1)):
+        if unroll_offsets:
+            # static shifts: ~1 Mosaic instruction per vreg per roll.
+            # Hardware-only — the interpret path inlines every grid step,
+            # where a 27x-unrolled body makes test graphs explode.
+            for k in range(9):
+                acc = offset_body(k, acc, xref, ok_x)
+        else:
+            acc = jax.lax.fori_loop(
+                0, 9, functools.partial(offset_body, xref=xref, ok_x=ok_x),
+                acc)
 
-    # per-slot J-products, reduced over lanes:
-    #   H = [[ L, -L hat(p)], [hat(p) L, ... hat L hat]],  b = [y; p x y]
+    # per-slot J-products, reduced over the plane.  The neighbor sum
+    # factorizes through the point: H_slot = J(p)^T (sum_k s Lambda) J(p),
+    # b_slot = J(p)^T (sum_k s Lambda r) — so only 11 accumulators per q
+    # survive the 27-neighbor loop, and the 6x6 expansion runs once.
     h = [zero] * 21   # upper triangle, row-major: (0,0)..(0,5),(1,1)..(5,5)
     b = [zero] * 6
     cost = zero
     matched = zero
 
     def tri(i_, j_):
-        # index into the 21-element upper triangle
         return i_ * 6 - i_ * (i_ + 1) // 2 + j_
 
     for q in range(q_cap):
-        y0, y1, y2 = acc_y[q]
-        c00, c01, c02, c11, c12, c22 = acc_l[q]
+        y0, y1, y2 = acc[11 * q + 0], acc[11 * q + 1], acc[11 * q + 2]
+        c00, c01, c02 = acc[11 * q + 3], acc[11 * q + 4], acc[11 * q + 5]
+        c11, c12, c22 = acc[11 * q + 6], acc[11 * q + 7], acc[11 * q + 8]
         px, py, pz = pxs[q], pys[q], pzs[q]
         b[0] += y0
         b[1] += y1
@@ -242,8 +312,7 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
         h[tri(1, 1)] += c11
         h[tri(1, 2)] += c12
         h[tri(2, 2)] += c22
-        # M = L hat(p): M[a][b'] = sum_k L[a,k] hat[k,b']
-        # hat(p) = [[0,-pz,py],[pz,0,-px],[-py,px,0]]
+        # M = L hat(p): hat(p) = [[0,-pz,py],[pz,0,-px],[-py,px,0]]
         m00 = c01 * pz - c02 * py
         m01 = -c00 * pz + c02 * px
         m02 = c00 * py - c01 * px
@@ -263,21 +332,19 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
         h[tri(2, 3)] += -m20
         h[tri(2, 4)] += -m21
         h[tri(2, 5)] += -m22
-        # H_rr = (-hat)^T L (-hat) = hat^T L hat = -hat(p) M, M = L hat(p);
-        # (hat M) row0 = -pz*M1 + py*M2, row1 = pz*M0 - px*M2,
-        #         row2 = -py*M0 + px*M1 — negated below.
+        # H_rr = hat^T L hat = -hat(p) M
         h[tri(3, 3)] += -(-pz * m10 + py * m20)
         h[tri(3, 4)] += -(-pz * m11 + py * m21)
         h[tri(3, 5)] += -(-pz * m12 + py * m22)
         h[tri(4, 4)] += -(pz * m01 - px * m21)
         h[tri(4, 5)] += -(pz * m02 - px * m22)
         h[tri(5, 5)] += -(-py * m02 + px * m12)
-        cost += acc_s[q]
-        matched += acc_m[q]
+        cost += acc[11 * q + 9]
+        matched += acc[11 * q + 10]
 
     # scalar SMEM stores (the sanctioned reduce-to-scalar pattern); the
-    # (8, 32) output block is shared by 8 consecutive planes (tile-size
-    # rules), each writing its own sublane
+    # (8, 32) output block is shared by 8 consecutive planes, each writing
+    # its own sublane
     row = jax.lax.rem(i, 8)
     vals = h + b + [cost, matched]
     for idx, v in enumerate(vals):
@@ -297,10 +364,7 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
     Returns (H (6,6), b (6,), cost (), matched_count ()).
     """
     wx, wy, wz = dims
-    if wx % 8 != 0:
-        raise ValueError(f"Wx must be a multiple of 8 (got {wx}): the "
-                         "(8, 32) SMEM output block spans 8 planes")
-    L = wy * wz
+    _, _, _, l8 = _split_dims(dims)
     scal = jnp.concatenate([
         T[:3].reshape(-1).astype(jnp.float32), jnp.zeros((4,), jnp.float32),
         jnp.stack([0.5 / jnp.asarray(gamma, jnp.float32),
@@ -308,23 +372,28 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
         jnp.zeros((6,), jnp.float32)]).reshape(1, 24)
 
     kernel = functools.partial(_terms_kernel, q_cap=q_cap, wy=wy, wz=wz,
-                               n_wx=wx)
+                               n_wx=wx, unroll_offsets=not interpret)
     out = pl.pallas_call(
         kernel,
         grid=(wx,),
         in_specs=[
             pl.BlockSpec((1, 24), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4 * q_cap, L), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 16, L),
-                         lambda i: (jnp.maximum(i - 1, 0), 0, 0)),
-            pl.BlockSpec((1, 16, L), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 16, L),
-                         lambda i: (jnp.minimum(i + 1, wx - 1), 0, 0)),
+            pl.BlockSpec((1, 4 * q_cap, 8, l8), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 16, 8, l8),
+                         lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0)),
+            pl.BlockSpec((1, 16, 8, l8), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 16, 8, l8),
+                         lambda i: (jnp.minimum(i + 1, wx - 1), 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((8, 32), lambda i: (i // 8, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((wx, 32), jnp.float32),
+        # the working set (4 double-buffered plane blocks + accumulators)
+        # can exceed the default 16 MiB scoped-vmem budget at W=64; the
+        # chip has far more VMEM, so raise the per-kernel cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(scal, raster, rows_planes, rows_planes, rows_planes)
 
@@ -342,20 +411,32 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
 # XLA reference of the SAME frozen-bin objective (CPU fallback + tests)
 # ---------------------------------------------------------------------------
 
+def raster_to_slots(raster: jax.Array, dims: Tuple[int, int, int],
+                    q_cap: int) -> jax.Array:
+    """Kernel raster (Wx, 4Q, 8, L8) -> (G*Q, 4) x-major slot rows."""
+    wx, wy, wz = dims
+    _, _, wz8, _ = _split_dims(dims)
+    g = wx * wy * wz
+    r = raster.reshape(wx, 4, q_cap, 8, wy, wz8)
+    # (x, c, q, s, y, z8) -> (x, y, z8, s, q, c); z = z8*8 + s
+    r = jnp.transpose(r, (0, 4, 5, 3, 2, 1))
+    return r.reshape(g * q_cap, 4)
+
+
 def ndt_terms_raster_reference(raster: jax.Array, rows_planes: jax.Array,
                                T: jax.Array, gamma: jax.Array,
                                max_corr_dist: float,
                                dims: Tuple[int, int, int], q_cap: int):
     """Dense XLA implementation of ndt_terms_raster (bit-comparable)."""
     wx, wy, wz = dims
-    L = wy * wz
-    g = wx * L
-    # (Wx, 4Q, L) -> (G*Q, 4)
-    ra = jnp.transpose(raster.reshape(wx, q_cap, 4, L), (0, 3, 1, 2))
-    ra = ra.reshape(g * q_cap, 4)
+    _, _, wz8, l8 = _split_dims(dims)
+    g = wx * wy * wz
+    ra = raster_to_slots(raster, dims, q_cap)
     pts = ra[:, :3] @ T[:3, :3].T + T[:3, 3]
     w = ra[:, 3]
-    rows = jnp.transpose(rows_planes, (0, 2, 1)).reshape(g, 16)
+    # planes (Wx, 16, 8, L8) -> (G, 16) x-major rows
+    rp = rows_planes.reshape(wx, 16, 8, wy, wz8)
+    rows = jnp.transpose(rp, (0, 3, 4, 2, 1)).reshape(g, 16)
 
     cell = jnp.arange(g * q_cap, dtype=jnp.int32) // q_cap
     cx = cell // (wy * wz)
