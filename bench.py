@@ -37,7 +37,13 @@ def _log(msg):
 
 
 def _time(fn, reps, ready):
-    """Mean seconds per call; ``ready(out)`` blocks on the result."""
+    """Mean seconds per call; ``ready(out)`` blocks on the result.
+
+    ONLY valid for calls whose inputs change every rep (the remote-TPU
+    tunnel serves repeated identical dispatches from a result cache —
+    see tpu_slam.utils.devtime).  Stage timings below use device-side
+    slope loops instead.
+    """
     ready(fn())               # warm-up / compile
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -80,6 +86,39 @@ def _outdoor_scans(n_poses, n_azimuth=4096, radius=26.0, step=1.0,
     return clouds, np.stack(gt)
 
 
+def _city_scans(n_poses, n_azimuth=4096, step=1.6, max_range=75.0, seed=0):
+    """VLP-16 revolutions along a street route through the dense grid-city.
+
+    Two street legs with a corner turn: the L-shape breaks the forward
+    translation/yaw degeneracy a single straight street leaves.
+    """
+    import jax.numpy as jnp
+    import math
+    from tpu_slam.core.pointcloud import PointCloud
+    from tpu_slam.ingest import synthetic as syn
+
+    world = syn.dense_city(extent=200.0, seed=0)
+    rng = np.random.default_rng(seed)
+    poses = []
+    n1 = n_poses // 2
+    # leg 1 ends exactly at the (-4, -4) intersection; leg 2 turns north.
+    # Streets run along x,y = -100 + 24i (dense_city block pitch).
+    for k in range(n1):
+        poses.append(syn.se2_pose(-4.0 - step * (n1 - 1 - k), -4.0, 0.0,
+                                  z=1.8))
+    for k in range(n_poses - n1):
+        poses.append(syn.se2_pose(-4.0, -4.0 + step * (k + 1),
+                                  math.pi / 2, z=1.8))
+    clouds = []
+    for T in poses:
+        pts, valid = syn.simulate_vlp16_revolution(
+            world, T, n_azimuth=n_azimuth, max_range=max_range,
+            noise_std=0.01, rng=rng)
+        clouds.append(PointCloud.from_points(jnp.asarray(pts[valid]),
+                                             capacity=n_azimuth * 16))
+    return world, clouds, np.stack(poses)
+
+
 # ---------------------------------------------------------------------------
 # Config 1: single-pair point-to-point ICP
 # ---------------------------------------------------------------------------
@@ -99,12 +138,21 @@ def bench_icp_pair(reps=20):
     xi = jnp.array([0.15, -0.1, 0.05, 0.02, -0.02, 0.04], jnp.float32)
     src = tgt.transform(se3.inverse(se3.exp(xi)))
     params = ICPParams(max_iterations=30, max_corr_dist=1.5)
+    from tpu_slam.utils.devtime import slope_time
 
-    def run():
-        return icp(src, tgt, params=params)
+    @jax.jit
+    def loop(K):
+        def body(i, carry):
+            Tc, acc = carry
+            Ti = Tc.at[0, 3].add(jnp.sin(i.astype(jnp.float32)) * 0.05)
+            r = icp(src, tgt, init_T=Ti, params=params)
+            return (r.T, acc + r.error)
+        Tf, acc = jax.lax.fori_loop(
+            0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.float32(0)))
+        return Tf[0, 3] + acc
 
-    dt = _time(run, reps, lambda out: jax.block_until_ready(out.T))
-    res = run()
+    dt = slope_time(loop, 3, 23)
+    res = icp(src, tgt, params=params)
     iters = int(res.iterations)
     _log(f"config1 icp: {1/dt:.1f} regs/s, {iters} iters, "
          f"{iters/dt:.0f} iters/s, err={float(res.error):.2e}")
@@ -124,11 +172,12 @@ def bench_odometry(n_poses=24):
     from tpu_slam.pipeline.odometry import LidarOdometry
     from tpu_slam.registration.ndt import NDTParams
 
-    clouds, gt = _outdoor_scans(n_poses)
+    _, clouds, gt = _city_scans(n_poses)
     cfg = OdometryConfig(
         scan_capacity=32768, downsample_leaf=0.3,
         map_leaf=0.5, map_half_extent=128.0, map_capacity=262144,
-        ndt=NDTParams(max_iterations=20, coarse_iterations=4),
+        ndt=NDTParams(max_iterations=12, coarse_iterations=2,
+                      window_dims=(128, 128, 32)),
         pyramid_factor=4)
     odo = LidarOdometry(cfg)
     # warm-up on the first two scans (compiles downsample+register+insert)
@@ -178,105 +227,205 @@ def bench_odometry(n_poses=24):
 # Config 3: NDT scan-to-map registration (HEADLINE) + per-stage timings
 # ---------------------------------------------------------------------------
 
-def bench_ndt_register(reps=30):
-    import functools
+def bench_ndt_register():
+    """Headline: scan-to-map NDT registration on the honest city workload.
 
+    Workload floors are ASSERTED, not advertised: >=100k occupied 0.5 m
+    map voxels, >=16,384-point downsampled scan.  The registration step is
+    the production two-level solve (coarse 2 m pyramid field for capture,
+    fine 0.5 m rectangular window for accuracy), and every timing is a
+    device-side slope (tpu_slam.utils.devtime) — per-call host timing
+    through the TPU tunnel reads caches, not the chip.
+    """
     import jax
     import jax.numpy as jnp
     from tpu_slam.core import se3
     from tpu_slam.core.pointcloud import PointCloud
     from tpu_slam.kernels.downsample import voxel_downsample
+    from tpu_slam.kernels.ndt_terms import (build_terms_raster,
+                                            ndt_terms_raster)
     from tpu_slam.kernels.voxel_hash import VoxelGridSpec
-    from tpu_slam.mapping.voxel_map import empty_map, insert_cloud
-    from tpu_slam.registration.ndt import (NDTParams, _ndt_terms, ndt_field,
-                                           ndt_register)
+    from tpu_slam.mapping.voxel_map import (build_map_host, coarse_spec_of,
+                                            coarsen_map, insert_cloud)
+    from tpu_slam.registration.ndt import NDTParams, ndt_field, ndt_register
+    from tpu_slam.ingest import synthetic as syn
+    from tpu_slam.utils.devtime import slope_time
 
-    # >=100k-voxel outdoor map built from 20 ring poses
-    clouds, gt = _outdoor_scans(20, seed=7)
+    # ---- workload: dense grid-city map + one street-pose VLP-16 scan ----
+    world = syn.dense_city(extent=200.0, seed=0)
+    surf = syn.sample_world_surface(world, spacing=0.15, noise_std=0.01,
+                                    seed=1)
     map_spec = VoxelGridSpec.centered(leaf=0.5, half_extent=128.0)
-    vmap = empty_map(262144)
-    for c, T in zip(clouds, gt):
-        vmap = insert_cloud(vmap, c.transform(jnp.asarray(T, jnp.float32)),
-                            map_spec, 0.0)
+    vmap = build_map_host(surf, map_spec, capacity=524288)
     n_vox = int(vmap.n_occupied())
+    assert n_vox >= 100_000, f"workload floor: {n_vox} voxels < 100k"
 
-    scan_spec = VoxelGridSpec.centered(leaf=0.3, half_extent=128.0)
-    scan = voxel_downsample(clouds[0], scan_spec, capacity=32768)
+    import math
+    T_pose = syn.se2_pose(-4.0, -4.0, 0.3, z=1.8)
+    rng = np.random.default_rng(0)
+    pts, valid = syn.simulate_vlp16_revolution(
+        world, T_pose, n_azimuth=8192, max_range=75.0, noise_std=0.01,
+        rng=rng)
+    cloud = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=131072)
+    scan = voxel_downsample(
+        cloud, VoxelGridSpec.centered(leaf=0.2, half_extent=102.0),
+        capacity=65536)
     n_scan = int(scan.count())
-    T0 = jnp.asarray(gt[0], jnp.float32)
-    center = T0[:3, 3]
-    params = NDTParams(max_iterations=20, coarse_iterations=4)
+    assert n_scan >= 16_384, f"workload floor: {n_scan} scan pts < 16384"
+    Tw = jnp.asarray(T_pose, jnp.float32)
 
-    # stage: field build (window around the sensor)
-    field_fn = jax.jit(functools.partial(ndt_field, spec=map_spec,
-                                         params=params))
-    field = field_fn(vmap, center=center)
-    jax.block_until_ready(field.nbr_rows if field.nbr_rows is not None
-                          else field.info)
-    t_field = _time(lambda: field_fn(vmap, center=center),
-                    max(5, reps // 4),
-                    lambda out: jax.block_until_ready(out.means))
+    # ---- the production registration step: coarse pyramid + fine window --
+    fine_dims = (128, 128, 32)          # +-32 x +-32 x +-8 m at 0.5 m
+    fparams = NDTParams(max_iterations=8, coarse_iterations=0,
+                        window_dims=fine_dims)
+    cparams = NDTParams(max_iterations=6, coarse_iterations=2,
+                        max_corr_dist=4.0, window_dims=(64, 64, 16))
+    cspec = coarse_spec_of(map_spec, 4)
+    cmap = coarsen_map(vmap, map_spec, 4)
+    cfield = ndt_field(cmap, cspec, cparams, center=Tw[:3, 3])
+    field = ndt_field(vmap, map_spec, fparams, center=Tw[:3, 3])
+    jax.block_until_ready(field.planes)
 
-    # stage: one gradient/Hessian terms pass over all (point, 27) pairs
-    terms_fn = jax.jit(lambda pts, mask, f, T: _ndt_terms(
-        PointCloud(points=pts, mask=mask), T, f, map_spec, params))
-    t_terms = _time(lambda: terms_fn(scan.points, scan.mask, field, T0),
-                    reps, lambda out: jax.block_until_ready(out[0]))
+    def register(init_T):
+        r0 = ndt_register(scan, cfield, cspec, init_T=init_T,
+                          params=cparams)
+        return ndt_register(scan, field, map_spec, init_T=r0.T,
+                            params=fparams)
 
-    # stage: map insert of a full scan
-    ins_fn = jax.jit(functools.partial(insert_cloud, spec=map_spec,
-                                       stamp=1.0))
-    t_ins = _time(lambda: ins_fn(vmap, clouds[0]), max(5, reps // 4),
-                  lambda out: jax.block_until_ready(out.keys))
+    # accuracy + coverage at a known perturbation
+    xi = jnp.asarray([0.2, -0.15, 0.08, 0.025, -0.015, 0.04], jnp.float32)
+    src = scan.transform(se3.inverse(se3.exp(xi)))
+    T_true = se3.compose(Tw, se3.exp(xi))
 
-    # full registration from perturbed inits
-    rng = np.random.default_rng(1)
-    inits = [jnp.asarray(np.asarray(se3.exp(jnp.asarray(
-        np.r_[rng.normal(0, 0.15, 3), rng.normal(0, 0.04, 3)],
-        jnp.float32))) @ gt[0], jnp.float32) for _ in range(8)]
+    def register_src(init_T):
+        r0 = ndt_register(src, cfield, cspec, init_T=init_T, params=cparams)
+        return ndt_register(src, field, map_spec, init_T=r0.T,
+                            params=fparams)
 
-    def reg(k=0):
-        return ndt_register(scan, field, map_spec, init_T=inits[k % 8],
-                            params=params)
+    res = register_src(Tw)
+    err = se3.log(se3.compose(se3.inverse(T_true), res.T))
+    err_mm = float(jnp.linalg.norm(err[:3])) * 1e3
+    # window coverage: scan points whose cell (at truth) is inside the
+    # fine window — the matched fraction is bounded by it (street scans
+    # reach 75 m; the fine window is +-32 m; the coarse stage sees +-64 m)
+    sane = scan.sanitize()
+    pw = sane.points @ T_true[:3, :3].T + T_true[:3, 3]
+    half = jnp.asarray([fine_dims[0] / 2 * 0.5, fine_dims[1] / 2 * 0.5,
+                        fine_dims[2] / 2 * 0.5])
+    inwin = (jnp.all(jnp.abs(pw - Tw[:3, 3]) < half, axis=1)
+             & sane.mask)
+    coverage = float(jnp.sum(inwin)) / max(n_scan, 1)
+    frac = float(res.matched_fraction)
 
-    jax.block_until_ready(reg().T)
-    t0 = time.perf_counter()
-    for k in range(reps):
-        res = reg(k)
-    jax.block_until_ready(res.T)
-    t_reg = (time.perf_counter() - t0) / reps
-    iters = int(res.iterations)
+    # ---- device-side slope timings --------------------------------------
+    @jax.jit
+    def reg_loop(K):
+        def body(i, carry):
+            Tc, acc = carry
+            f = i.astype(jnp.float32)
+            Ti = (Tc.at[0, 3].add(jnp.sin(f) * 0.15)
+                  .at[1, 3].add(jnp.cos(f) * 0.1))
+            r = register(Ti)
+            return (r.T, acc + r.score)
+        Tf, acc = jax.lax.fori_loop(0, K, body, (Tw, jnp.float32(0)))
+        return Tf[0, 3] + acc
 
-    # roofline accounting for the terms pass (docs/roofline.md)
-    tier = 9 if (field.nbr_rows is not None
-                 and field.nbr_rows.shape[1] == 144) else (
-        3 if field.nbr_rows is not None else 0)
-    if tier:
-        # per point the probe gathers 27 neighbor rows of 16 f32 from the
-        # packed table (3 dx-gathers of tier*16 each); see docs/roofline.md
-        bytes_moved = scan.capacity * 27 * 16 * 4
-        flops = scan.capacity * 27 * 230
-        hbm_gbps = 819.0          # v5e HBM bandwidth
-        sol_s = bytes_moved / (hbm_gbps * 1e9)
-        frac_sol = sol_s / t_terms
-    else:
-        bytes_moved = flops = 0
-        frac_sol = 0.0
+    t_reg = slope_time(reg_loop, 3, 23)
 
-    _log(f"config3 ndt: map={n_vox} voxels, scan={n_scan} pts "
-         f"(cap {scan.capacity}); field={t_field*1e3:.1f} ms, "
-         f"terms={t_terms*1e3:.2f} ms, insert={t_ins*1e3:.1f} ms, "
-         f"register={t_reg*1e3:.1f} ms ({iters} iters); terms pass at "
-         f"{100*frac_sol:.0f}% of HBM speed-of-light")
+    dims = field.window_dims
+    c0 = field.origin_cell
+    origin_w = (jnp.asarray(map_spec.origin, jnp.float32)
+                + c0.astype(jnp.float32) * map_spec.leaf)
+    raster, n_drop = build_terms_raster(
+        sane.points, sane.mask, Tw, origin_w, map_spec.leaf, dims, 4)
+    jax.block_until_ready(raster)
+
+    @jax.jit
+    def terms_loop(K):
+        def body(i, carry):
+            acc, t = carry
+            Ti = Tw.at[0, 3].add(1e-6 * i.astype(jnp.float32) + t * 1e-12)
+            H, b, c, m = ndt_terms_raster(raster, field.planes, Ti,
+                                          jnp.float32(4.0), 1.0, dims, 4)
+            return (acc + c + H[0, 0] * 1e-9, t + c * 1e-12)
+        acc, t = jax.lax.fori_loop(0, K, body,
+                                   (jnp.float32(0), jnp.float32(0)))
+        return acc + t
+    t_terms = slope_time(terms_loop, 10, 110)
+
+    @jax.jit
+    def raster_loop(K):
+        def body(i, carry):
+            acc, t = carry
+            Ti = Tw.at[0, 3].add(1e-4 * i.astype(jnp.float32) + t * 1e-12)
+            r, d = build_terms_raster(sane.points, sane.mask, Ti, origin_w,
+                                      map_spec.leaf, dims, 4)
+            return (acc + r[32, 0, 0, 0] + d.astype(jnp.float32),
+                    t + r[0, 0, 0, 0] * 1e-12 + 0.001)
+        acc, t = jax.lax.fori_loop(0, K, body,
+                                   (jnp.float32(0), jnp.float32(0)))
+        return acc + t
+    t_raster = slope_time(raster_loop, 3, 43)
+
+    @jax.jit
+    def field_loop(K):
+        def body(i, carry):
+            acc, c = carry
+            f = ndt_field(vmap, map_spec, fparams, center=c)
+            return (acc + f.planes[32, 0, 0, 0],
+                    c + f.planes[0, 0, 0, 0] * 1e-12 + 0.001)
+        acc, c = jax.lax.fori_loop(0, K, body,
+                                   (jnp.float32(0), Tw[:3, 3]))
+        return acc + c[0]
+    t_field = slope_time(field_loop, 3, 23)
+
+    wcloud = cloud.transform(Tw)
+
+    @jax.jit
+    def insert_loop(K, vm):
+        def body(i, vm):
+            c2 = PointCloud(
+                points=wcloud.points
+                + i.astype(jnp.float32) * 1e-6, mask=wcloud.mask)
+            return insert_cloud(vm, c2, map_spec,
+                                i.astype(jnp.float32))
+        return jax.lax.fori_loop(0, K, body, vm).count[0]
+    t_ins = slope_time(lambda K: insert_loop(K, vmap), 2, 12)
+
+    # ---- roofline (docs/roofline.md): the terms pass is the hot kernel --
+    wx, wy, wz = dims
+    g = wx * wy * wz
+    hbm_gbps = 819.0                    # v5e HBM
+    bytes_moved = g * 16 * 4 * 3 + g * 16 * 4     # 3 plane reads + raster
+    t_hbm = bytes_moved / (hbm_gbps * 1e9)
+    lane_ops = 27 * g * 4 * 38
+    t_vpu = lane_ops / 3.85e12          # 8x128 lanes x 4/cycle x 940 MHz
+    sol = max(t_hbm, t_vpu)             # the binding floor
+    pct_sol = 100 * sol / t_terms
+    pct_hbm = 100 * t_hbm / t_terms
+
+    _log(f"config3 ndt: map={n_vox} voxels, scan={n_scan} pts, "
+         f"err={err_mm:.0f} mm, frac={frac:.2f} (window covers "
+         f"{coverage:.2f}); register={t_reg*1e3:.1f} ms "
+         f"({1/t_reg:.0f}/s), terms={t_terms*1e3:.3f} ms "
+         f"({pct_sol:.0f}% of binding SoL, {pct_hbm:.0f}% of HBM floor), "
+         f"raster={t_raster*1e3:.2f} ms, field={t_field*1e3:.1f} ms, "
+         f"insert={t_ins*1e3:.1f} ms")
     return {"registrations_per_sec": round(1 / t_reg, 2),
-            "iters_per_sec": round(iters / t_reg, 1),
             "map_voxels": n_vox,
             "scan_points": n_scan,
+            "register_err_mm": round(err_mm, 1),
+            "matched_fraction": round(frac, 3),
+            "fine_window_coverage": round(coverage, 3),
+            "fine_window_dims": list(fine_dims),
+            "raster_dropped": int(n_drop),
             "stage_field_build_ms": round(t_field * 1e3, 2),
             "stage_terms_pass_ms": round(t_terms * 1e3, 3),
+            "stage_raster_build_ms": round(t_raster * 1e3, 3),
             "stage_map_insert_ms": round(t_ins * 1e3, 2),
             "terms_bytes_moved": int(bytes_moved),
-            "terms_pct_hbm_speed_of_light": round(100 * frac_sol, 1)}
+            "terms_pct_speed_of_light": round(pct_sol, 1),
+            "terms_pct_hbm_speed_of_light": round(pct_hbm, 1)}
 
 
 # ---------------------------------------------------------------------------
@@ -425,10 +574,13 @@ def main():
 
     headline = results.get("3_ndt_register", {}).get(
         "registrations_per_sec", 0.0)
+    c3 = results.get("3_ndt_register", {})
+    unit = (f"regs/s (1 chip, {c3.get('scan_points', 0)}-pt scan, "
+            f"{c3.get('map_voxels', 0)}-voxel 0.5 m city map)")
     print(json.dumps({
         "metric": "ndt_scan_to_map_registrations_per_sec",
         "value": headline,
-        "unit": "scans/s (1 chip, 32k-pt scan, 100k+-voxel outdoor map)",
+        "unit": unit,
         "vs_baseline": round(headline / BASELINE_SCANS_PER_SEC, 3),
         "configs": results,
     }))

@@ -259,3 +259,28 @@ def test_insert_incremental_overflow_fallback():
                                   np.asarray(m_full.keys))
     np.testing.assert_allclose(np.asarray(m_inc.count),
                                np.asarray(m_full.count), rtol=1e-6)
+
+
+def test_build_map_host_matches_insert_cloud():
+    """The host bulk constructor must agree with the device insert path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_slam.core.pointcloud import PointCloud
+    from tpu_slam.kernels.voxel_hash import VoxelGridSpec
+    from tpu_slam.mapping.voxel_map import (build_map_host, empty_map,
+                                            insert_cloud)
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0.2, 7.5, (3000, 3)).astype(np.float32)
+    spec = VoxelGridSpec(leaf=0.5, origin=(0.0, 0.0, 0.0), dim_bits=4)
+    host = build_map_host(pts, spec, capacity=4096)
+    dev = insert_cloud(empty_map(4096),
+                       PointCloud.from_points(jnp.asarray(pts),
+                                              capacity=4096),
+                       spec, 0.0, incremental=False)
+    np.testing.assert_array_equal(np.asarray(host.keys), np.asarray(dev.keys))
+    np.testing.assert_allclose(np.asarray(host.count), np.asarray(dev.count))
+    np.testing.assert_allclose(np.asarray(host.sum_pts),
+                               np.asarray(dev.sum_pts), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(host.sum_outer),
+                               np.asarray(dev.sum_outer), atol=1e-4)

@@ -67,6 +67,16 @@ class World:
         chunk = 8192
         same_origin = (origins.ndim == 2
                        and np.all(origins[0] == origins[-1]))
+        if same_origin and N * len(self.patches) >= 4_000_000:
+            # big workloads (dense-city benches: 65k rays x 300+ patches)
+            # go through one jitted ray-plane pass on the accelerator —
+            # ~50x the chunked numpy path.  Small/odd cases keep numpy so
+            # CPU tests don't churn compiles.
+            return _raycast_accel(o, u, v, n, uu.astype(np.float32),
+                                  vv.astype(np.float32),
+                                  origins[0].astype(np.float32),
+                                  dirs.astype(np.float32),
+                                  float(max_range))
         for s in range(0, N, chunk):
             d = dirs[s:s + chunk].astype(np.float32)
             og = origins[s:s + chunk].astype(np.float32)
@@ -88,6 +98,67 @@ class World:
             t = np.where(inside, t, np.inf)
             out[s:s + chunk] = np.min(t, axis=1)
         return np.where(out <= max_range, out, np.inf).astype(np.float32)
+
+
+def _raycast_accel(o, u, v, n, uu, vv, origin, dirs, max_range):
+    """Single-origin ray-plane intersection, one jitted pass.
+
+    Algebra avoids the (N, K, 3) hit-point tensor: with t the plane-hit
+    parameter, the patch coordinates are a = (ou + t*du)/uu (and likewise
+    b), where ou/du are precomputable dot products — everything is (N, K)
+    elementwise math plus three small matmuls.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(o, u, v, n, uu, vv, origin, dirs):
+        denom = dirs @ n.T                              # (N, K)
+        num = jnp.sum((o - origin) * n, axis=1)[None, :]
+        t = num / denom
+        t = jnp.where(jnp.abs(denom) < 1e-9, jnp.inf, t)
+        t = jnp.where(t <= 1e-6, jnp.inf, t)
+        du = dirs @ u.T
+        dv = dirs @ v.T
+        ou = jnp.sum((origin - o) * u, axis=1)[None, :]
+        ov = jnp.sum((origin - o) * v, axis=1)[None, :]
+        a = (ou + t * du) / uu[None, :]
+        b = (ov + t * dv) / vv[None, :]
+        inside = (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+        t = jnp.where(inside, t, jnp.inf)
+        return jnp.min(t, axis=1)
+
+    out = np.asarray(run(o, u, v, n, uu, vv, origin, dirs))
+    return np.where(out <= max_range, out, np.inf).astype(np.float32)
+
+
+def sample_world_surface(world: World, spacing: float = 0.15,
+                         noise_std: float = 0.01, seed: int = 0
+                         ) -> np.ndarray:
+    """Uniformly sample every patch surface at ~``spacing`` meters.
+
+    Benchmark-map generation path: a city-scale NDT map needs surface
+    POINTS with realistic planar statistics, not realistic per-ray
+    visibility — sampling the patches directly costs milliseconds where
+    ray-casting 100+ revolutions costs minutes, and produces the same
+    voxel Gaussians the raycast map converges to.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for p in world.patches:
+        lu = float(np.linalg.norm(p.u))
+        lv = float(np.linalg.norm(p.v))
+        nu = max(1, int(lu / spacing))
+        nv = max(1, int(lv / spacing))
+        a = (np.arange(nu) + rng.uniform(0, 1, nu)) / nu
+        b = (np.arange(nv) + rng.uniform(0, 1, nv)) / nv
+        g = a[:, None, None] * p.u[None, None, :] \
+            + b[None, :, None] * p.v[None, None, :] + p.origin
+        pts = g.reshape(-1, 3)
+        if noise_std > 0:
+            pts = pts + rng.normal(0, noise_std, pts.shape)
+        out.append(pts.astype(np.float32))
+    return np.concatenate(out, axis=0)
 
 
 def make_room(size: Tuple[float, float, float] = (10.0, 8.0, 3.0),

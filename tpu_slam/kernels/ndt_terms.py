@@ -107,14 +107,18 @@ def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
     cell = jnp.where(inside, cell, g)
 
     # group points of a cell contiguously; rank = position within group.
-    # The rank comes from a scatter-min + gather (first index per cell),
-    # NOT a cumulative scan — scans are the one slow primitive here.
+    # Only ranks < q_cap matter, so rank comes from q_cap shifted
+    # compares on the sorted keys (sum of [sc[i-j] == sc[i]], exact
+    # whenever it is < q_cap and saturating otherwise) — no cumulative
+    # scan (60 ms at this size: TPU scans are serial) and no cell-table
+    # scatter-min + gather (0.55 ms device-side).
     order = jnp.argsort(cell, stable=True)
     sc = jnp.take(cell, order)
     sp = jnp.take(points, order, axis=0)
-    first = jnp.full((g + 1,), n, jnp.int32).at[sc].min(
-        idx, mode="drop", indices_are_sorted=True)
-    rank = idx - jnp.take(first, sc)
+    rank = jnp.zeros((n,), jnp.int32)
+    for j in range(1, q_cap + 1):
+        prev = jnp.concatenate([jnp.full((j,), -1, jnp.int32), sc[:-j]])
+        rank = rank + (prev == sc).astype(jnp.int32)
     keep = (sc < g) & (rank < q_cap)
 
     # kernel-layout target: plane x, channel row c*Q + rank, sublane z%8,

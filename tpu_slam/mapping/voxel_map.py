@@ -283,6 +283,55 @@ def insert_scan_stats_incremental(vmap: VoxelMap, keys: jax.Array,
     return jax.lax.cond(overflow, fallback, merged)
 
 
+def build_map_host(points: "np.ndarray", spec: VoxelGridSpec,
+                   capacity: int, stamp: float = 0.0) -> VoxelMap:
+    """Bulk map construction from a host point array (numpy, exact).
+
+    The offline/bench path: assembling a city-scale map by repeated
+    device-side sort-merges costs minutes at millions of points (the
+    (N, 3, 3) payload gathers of the full merge lower poorly); one numpy
+    sort + reduceat builds the same VoxelMap in ~a second.  Per-scan live
+    insertion stays on device (insert_scan_stats_incremental).
+    """
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = spec.cells_per_axis
+    b = spec.dim_bits
+    origin = np.asarray(spec.origin, np.float32)
+    cc = np.floor((pts - origin) / spec.leaf).astype(np.int64)
+    ok = np.all((cc >= 0) & (cc < n), axis=1)
+    pts, cc = pts[ok], cc[ok]
+    key = (cc[:, 0] << (2 * b)) | (cc[:, 1] << b) | cc[:, 2]
+    order = np.argsort(key, kind="stable")
+    key, pts, cc = key[order], pts[order], cc[order]
+    uk, start, cnt = np.unique(key, return_index=True, return_counts=True)
+    if len(uk) > capacity:
+        raise ValueError(f"{len(uk)} occupied voxels > capacity {capacity}")
+    corners = cc.astype(np.float32) * spec.leaf + origin
+    local = (pts - corners).astype(np.float64)
+    outer = local[:, :, None] * local[:, None, :]
+    ssum = np.add.reduceat(local, start, axis=0)
+    souter = np.add.reduceat(outer.reshape(-1, 9), start, axis=0)
+
+    C = capacity
+    keys = np.full(C, np.iinfo(np.int32).max, np.int32)
+    count = np.zeros(C, np.float32)
+    sum_pts = np.zeros((C, 3), np.float32)
+    sum_outer = np.zeros((C, 3, 3), np.float32)
+    stamps = np.full(C, -np.inf, np.float32)
+    m = len(uk)
+    keys[:m] = uk.astype(np.int32)
+    count[:m] = cnt
+    sum_pts[:m] = ssum
+    sum_outer[:m] = souter.reshape(-1, 3, 3)
+    stamps[:m] = stamp
+    return VoxelMap(keys=jnp.asarray(keys), count=jnp.asarray(count),
+                    sum_pts=jnp.asarray(sum_pts),
+                    sum_outer=jnp.asarray(sum_outer),
+                    stamp=jnp.asarray(stamps))
+
+
 def insert_cloud(vmap: VoxelMap, cloud: PointCloud, spec: VoxelGridSpec,
                  stamp: float | jax.Array = 0.0,
                  incremental: bool = True) -> VoxelMap:

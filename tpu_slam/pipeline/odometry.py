@@ -160,8 +160,15 @@ class LidarOdometry:
 
     def _coarse_params(self):
         cfg = self.config
+        # the coarse window covers pyramid_factor x the metric extent of the
+        # fine one at 1/factor^3 the cells — cap it at half the fine dims so
+        # the coarse register costs a fraction of a fine pass
+        wdims = cfg.ndt.window_dims
+        if wdims is not None:
+            wdims = tuple(max(16, (d // 2 + 7) // 8 * 8) for d in wdims)
         return dataclasses.replace(
             cfg.ndt, max_iterations=max(10, cfg.ndt.max_iterations // 2),
+            window_dims=wdims,
             max_corr_dist=cfg.ndt.max_corr_dist * cfg.pyramid_factor)
 
     def _register(self, scan: PointCloud, init_T: jax.Array,

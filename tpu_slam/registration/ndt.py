@@ -80,6 +80,14 @@ class NDTParams:
                                      # cells per axis, centered on the scan
                                      # (see _ndt_field_dense). 0 disables the
                                      # dense build path.
+    window_dims: Optional[Tuple[int, int, int]] = None
+                                     # rectangular dense window (Wx, Wy, Wz)
+                                     # overriding the window_bits cube.
+                                     # Outdoor maps are flat: (128, 128, 32)
+                                     # at 0.5 m leaf covers +-32 m of range
+                                     # for the cell count of a 69^3 cube.
+                                     # Pallas terms path only (Wx, Wz
+                                     # multiples of 8).
     terms_impl: str = "auto"         # terms-pass backend: 'auto' (Pallas on
                                      # TPU, XLA gathers elsewhere), 'xla',
                                      # 'pallas', 'pallas_interpret' (tests)
@@ -171,6 +179,12 @@ def ndt_field(vmap: VoxelMap, spec: VoxelGridSpec,
     which is the locality a scan-to-map step has anyway.
     """
     wb = min(spec.dim_bits, params.window_bits)
+    if params.window_dims is not None:
+        if not (_use_pallas(params) and params.use_neighborhood):
+            raise ValueError("rectangular window_dims requires the Pallas "
+                             "terms path (terms_impl pallas/auto-on-TPU) "
+                             "and use_neighborhood")
+        return _ndt_field_dense(vmap, spec, params, center)
     if ((_pack_tier(params, wb) or (_use_pallas(params) and wb >= 4))
             and params.use_neighborhood):
         return _ndt_field_dense(vmap, spec, params, center)
@@ -305,17 +319,23 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
     moment passes, closed-form floored inverses, and the roll-composed
     neighbor row packs. Measured ~1-2 ms per build at W=64.
 
-    The window covers 2^window_bits cells per axis. If the map grid is no
-    bigger, the window IS the grid (origin_cell=None, static). Otherwise it
-    is clamped inside the grid around ``center`` (or the map centroid), and
-    Gaussians outside are not part of this field.
+    The window covers 2^window_bits cells per axis (or the rectangular
+    params.window_dims). If the map grid is no bigger, the window IS the
+    grid (origin_cell=None, static). Otherwise it is clamped inside the
+    grid around ``center`` (or the map centroid), and Gaussians outside
+    are not part of this field.
     """
     b = spec.dim_bits
     n = spec.cells_per_axis
     wb = min(b, params.window_bits)
-    w = 1 << wb
-    g = 1 << (3 * wb)
-    tier = _pack_tier(params, wb)
+    if params.window_dims is not None:
+        dims = tuple(min(d, n) for d in params.window_dims)
+        tier = 0                       # rect windows are Pallas-only
+    else:
+        dims = (1 << wb,) * 3
+        tier = _pack_tier(params, wb)
+    wx, wy, wz = dims
+    g = wx * wy * wz
     leaf = spec.leaf
     occ = vmap.occupied_mask()
     keys = vmap.keys
@@ -323,7 +343,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
     gy = (keys >> b) & (n - 1)
     gz = keys & (n - 1)
 
-    if wb >= b:
+    if wx >= n and wy >= n and wz >= n:
         c0 = None
         lx, ly, lz = gx, gy, gz
         inside = occ
@@ -339,12 +359,14 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
         origin = jnp.asarray(spec.origin, jnp.float32)
         cc = jnp.floor((jnp.asarray(center, jnp.float32) - origin)
                        / leaf).astype(jnp.int32)
-        c0 = jnp.clip(cc - w // 2, 0, n - w)
+        half = jnp.asarray([wx // 2, wy // 2, wz // 2], jnp.int32)
+        hi = jnp.asarray([n - wx, n - wy, n - wz], jnp.int32)
+        c0 = jnp.clip(cc - half, 0, hi)
         lx, ly, lz = gx - c0[0], gy - c0[1], gz - c0[2]
-        inside = (occ & (lx >= 0) & (lx < w) & (ly >= 0) & (ly < w)
-                  & (lz >= 0) & (lz < w))
+        inside = (occ & (lx >= 0) & (lx < wx) & (ly >= 0) & (ly < wy)
+                  & (lz >= 0) & (lz < wz))
 
-    lidx = (lx << (2 * wb)) | (ly << wb) | lz
+    lidx = (lx * wy + ly) * wz + lz
     lidx = jnp.where(inside, lidx, g)                    # dropped
 
     # scatter [count, sum(3), outer triu(6), occupied(1)] rows. The triu
@@ -360,7 +382,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
     dm = jnp.zeros((g + 1, 11), jnp.float32).at[lidx].set(chan, mode="drop")
     dm = dm[:g]
     occ_center = dm[:, 10]
-    a = dm[:, :10].reshape(w, w, w, 10)
+    a = dm[:, :10].reshape(wx, wy, wz, 10)
     for axis in (2, 1, 0):
         a = _nbr_moment_pass(a, axis, leaf)
     a = a.reshape(g, 10)
@@ -378,8 +400,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
 
     # world-frame means: corner(cell) + local mean
     ci = jnp.arange(g, dtype=jnp.int32)
-    cell = jnp.stack([(ci >> (2 * wb)) & (w - 1), (ci >> wb) & (w - 1),
-                      ci & (w - 1)], axis=1)
+    cell = jnp.stack([ci // (wy * wz), (ci // wz) % wy, ci % wz], axis=1)
     if c0 is not None:
         cell = cell + c0[None, :]
     origin = jnp.asarray(spec.origin, jnp.float32)
@@ -391,15 +412,22 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
            jnp.zeros((g, 6), jnp.float32)], axis=1)
     rows16 = jnp.where(valid[:, None], rows16, 0.0)
     planes = None
-    if _use_pallas(params) and wb >= 4:
+    if _use_pallas(params) and (params.window_dims is not None or wb >= 4):
         # Pallas raster-terms path: channel-major planes replace the 9x
         # neighbor-packed table (roll-pack of (G,144) costs ~300 MB of
-        # traffic per build and the kernel never reads it)
+        # traffic per build and the kernel never reads it).  The sparse
+        # per-slot views below exist only for the XLA fallback; their
+        # capacity-sized gather dominated the build (9.2 -> ~2 ms/op
+        # device-side without them), so skip them entirely here.
         from tpu_slam.kernels.ndt_terms import rows_to_planes
-        nbr_rows = None
-        planes = rows_to_planes(rows16, (w, w, w))
-    else:
-        nbr_rows = _pack_neighbor_rows(rows16, (w, w, w), tier)
+        planes = rows_to_planes(rows16, dims)
+        return NDTField(
+            keys=keys, means=jnp.zeros((1, 3), jnp.float32),
+            info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3)),
+            valid=jnp.zeros((1,), bool), lookup=None,
+            packed=jnp.zeros((1, 16), jnp.float32), nbr_rows=None,
+            planes=planes, origin_cell=c0, window_dims=dims)
+    nbr_rows = _pack_neighbor_rows(rows16, dims, tier)
 
     # sparse per-slot views for fallback consumers (loop-closure scoring,
     # map_shard-style code): gather each map slot's row out of the window
@@ -419,7 +447,7 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
     return NDTField(keys=keys, means=s_means, info=s_info, valid=s_valid,
                     lookup=None, packed=packed, nbr_rows=nbr_rows,
                     planes=planes,
-                    origin_cell=c0, window_dims=(w, w, w))
+                    origin_cell=c0, window_dims=dims)
 
 
 def _probe_slots(field: NDTField, nkeys: jax.Array):
@@ -635,26 +663,32 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
     use_kernel = _use_pallas(params) and field.planes is not None
     n_src_pts = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
 
+    raster = None
+    if use_kernel:
+        # Pallas raster path: bin the scan ONCE at the register-entry pose
+        # (kernels.ndt_terms — frozen bins, live gate), then every LM
+        # evaluation of every stage is the dense plane-sweep kernel.  One
+        # bin per solve (not per stage): the build costs ~1 ms against
+        # ~0.3 ms per terms pass, and a whole GNC solve moves the pose by
+        # less than a cell from any init the coarse pyramid hands over, so
+        # the frozen 27-neighborhood stays valid across stages.
+        from tpu_slam.kernels.ndt_terms import (build_terms_raster,
+                                                ndt_terms_raster)
+        dims = field.window_dims
+        c0 = (field.origin_cell if field.origin_cell is not None
+              else jnp.zeros((3,), jnp.int32))
+        origin_w = (jnp.asarray(spec.origin, jnp.float32)
+                    + c0.astype(jnp.float32) * spec.leaf)
+        raster, _ = build_terms_raster(
+            src.points, src.mask, init_T, origin_w, spec.leaf, dims,
+            params.raster_q)
+
     def lm_solve(T0, gamma, max_iters, tol, isotropic=False):
         if use_kernel and not isotropic:
-            # Pallas raster path: bin the scan ONCE at the stage-start pose
-            # (kernels.ndt_terms — frozen bins, live gate), then every LM
-            # evaluation is the dense plane-sweep kernel.
-            from tpu_slam.kernels.ndt_terms import (build_terms_raster,
-                                                    ndt_terms_raster)
-            dims = field.window_dims
-            c0 = (field.origin_cell if field.origin_cell is not None
-                  else jnp.zeros((3,), jnp.int32))
-            origin_w = (jnp.asarray(spec.origin, jnp.float32)
-                        + c0.astype(jnp.float32) * spec.leaf)
-            raster, _ = build_terms_raster(
-                src.points, src.mask, T0, origin_w, spec.leaf, dims,
-                params.raster_q)
-
             def terms(T):
                 H, b, cost, cnt = ndt_terms_raster(
                     raster, field.planes, T, gamma, params.max_corr_dist,
-                    dims, params.raster_q,
+                    field.window_dims, params.raster_q,
                     interpret=params.terms_impl == "pallas_interpret")
                 return H, b, cost, cnt / n_src_pts
         else:
