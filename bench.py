@@ -548,8 +548,19 @@ def bench_multichip(reps=5):
 # ---------------------------------------------------------------------------
 
 def main():
+    import os
+
     from tpu_slam.utils.tpu_env import ensure_tpu_compile_env
     ensure_tpu_compile_env()   # Mosaic compile helper needs the TPU type
+
+    # Some platform plugins (the axon TPU tunnel) override JAX_PLATFORMS at
+    # import time; re-assert the caller's choice exactly as
+    # __graft_entry__.py and tests/conftest.py do — without this the
+    # documented config-5 command (JAX_PLATFORMS=cpu XLA_FLAGS=... python
+    # bench.py --configs 5) silently runs on the single TPU and skips.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--configs", default="1,2,3,4,5",

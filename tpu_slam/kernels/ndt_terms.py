@@ -117,7 +117,11 @@ def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
     sp = jnp.take(points, order, axis=0)
     rank = jnp.zeros((n,), jnp.int32)
     for j in range(1, q_cap + 1):
-        prev = jnp.concatenate([jnp.full((j,), -1, jnp.int32), sc[:-j]])
+        # clamped-shift compare (jnp.take, not sc[:-j] concat — the slice is
+        # empty when n <= j and the concat would trace a wrong-length array
+        # for tiny clouds)
+        prev = jnp.where(idx >= j, jnp.take(sc, jnp.maximum(idx - j, 0)),
+                         jnp.int32(-1))
         rank = rank + (prev == sc).astype(jnp.int32)
     keep = (sc < g) & (rank < q_cap)
 
@@ -131,7 +135,11 @@ def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
     s8 = jax.lax.rem(scz, 8)
     lane = scy * wz8 + scz // 8
     total = wx * (4 * q_cap) * 8 * l8
-    flat = jnp.zeros((total + 1,), jnp.float32)
+    # dropped points scatter to index ``total`` — OUT of bounds for the
+    # (total,) array, so mode="drop" really drops them and the
+    # unique_indices=True hint is honest (an in-bounds shared sentinel would
+    # be duplicate indices, undefined under that hint)
+    flat = jnp.zeros((total,), jnp.float32)
     vals = (sp[:, 0], sp[:, 1], sp[:, 2],
             jnp.ones((n,), jnp.float32))
     for c in range(4):
@@ -140,7 +148,7 @@ def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
         tgt = jnp.where(keep, tgt, total)
         flat = flat.at[tgt].set(jnp.where(keep, vals[c], 0.0), mode="drop",
                                 unique_indices=True)
-    raster = flat[:total].reshape(wx, 4 * q_cap, 8, l8)
+    raster = flat.reshape(wx, 4 * q_cap, 8, l8)
     n_dropped = (jnp.sum(mask.astype(jnp.int32))
                  - jnp.sum(keep.astype(jnp.int32)))
     return raster, n_dropped

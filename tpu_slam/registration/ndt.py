@@ -421,11 +421,12 @@ def _ndt_field_dense(vmap: VoxelMap, spec: VoxelGridSpec, params: NDTParams,
         # device-side without them), so skip them entirely here.
         from tpu_slam.kernels.ndt_terms import rows_to_planes
         planes = rows_to_planes(rows16, dims)
+        # planes-only field: sparse per-slot views are None, NOT dummies —
+        # any consumer that needs them (_ndt_terms, _ndt_correspond) raises
+        # instead of silently matching nothing against zero-rows
         return NDTField(
-            keys=keys, means=jnp.zeros((1, 3), jnp.float32),
-            info=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (1, 3, 3)),
-            valid=jnp.zeros((1,), bool), lookup=None,
-            packed=jnp.zeros((1, 16), jnp.float32), nbr_rows=None,
+            keys=keys, means=None, info=None, valid=None, lookup=None,
+            packed=None, nbr_rows=None,
             planes=planes, origin_cell=c0, window_dims=dims)
     nbr_rows = _pack_neighbor_rows(rows16, dims, tier)
 
@@ -504,11 +505,22 @@ def _gather_nbr_rows(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
     return P, ok & (P[..., 9] > 0.5)
 
 
+def _require_sparse_views(field: NDTField, who: str) -> None:
+    """Planes-only fields (Pallas raster path) carry no sparse views."""
+    if field.means is None and field.packed is None:
+        raise ValueError(
+            f"{who} needs the sparse per-slot field views, but this NDTField "
+            "is planes-only (built for the Pallas raster kernel). Build the "
+            "field with terms_impl='xla' or without window_dims for sparse "
+            "consumers.")
+
+
 def _ndt_correspond(pts: jax.Array, field: NDTField, spec: VoxelGridSpec):
     """Best Gaussian in each point's 27-neighborhood by Mahalanobis distance.
 
     Returns (mu (N,3), Lambda (N,3,3), matched (N,) bool, d2 (N,)).
     """
+    _require_sparse_views(field, "_ndt_correspond")
     n = pts.shape[0]
     qkeys = pack_key(cell_coords(pts, spec), spec)
     nkeys = neighbor_offsets_keys(qkeys, spec)                # (N, 27)
@@ -548,6 +560,7 @@ def _ndt_terms(src: PointCloud, T: jax.Array, field: NDTField,
     Lam_k r_nk, with s the tempered scores — the exact gradient direction
     of the objective (up to the fixed-weight GN approximation).
     """
+    _require_sparse_views(field, "_ndt_terms")
     pts = se3.apply(T, src.points)
     n = pts.shape[0]
 
@@ -663,27 +676,37 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
     use_kernel = _use_pallas(params) and field.planes is not None
     n_src_pts = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
 
-    raster = None
+    bin_raster = None
     if use_kernel:
-        # Pallas raster path: bin the scan ONCE at the register-entry pose
+        # Pallas raster path: bin the scan at each STAGE-entry pose
         # (kernels.ndt_terms — frozen bins, live gate), then every LM
-        # evaluation of every stage is the dense plane-sweep kernel.  One
-        # bin per solve (not per stage): the build costs ~1 ms against
-        # ~0.3 ms per terms pass, and a whole GNC solve moves the pose by
-        # less than a cell from any init the coarse pyramid hands over, so
-        # the frozen 27-neighborhood stays valid across stages.
+        # evaluation of that stage is the dense plane-sweep kernel.  The
+        # coarse GNC stage exists exactly to absorb inits more than a cell
+        # off, so the fine stage re-bins at the coarse result — a ~1-2 ms
+        # build per stage vs ~0.3 ms per pass, cheap against the silent
+        # accuracy loss of running the fine solve on stale frozen
+        # 27-neighborhoods (points that left/entered the window at the
+        # moved pose would otherwise never enter the objective).
         from tpu_slam.kernels.ndt_terms import (build_terms_raster,
                                                 ndt_terms_raster)
+        if params.isotropic_iterations > 0:
+            raise ValueError(
+                "isotropic_iterations > 0 needs the sparse field views; the "
+                "Pallas raster path (window_dims / terms_impl='pallas') "
+                "does not build them — use the coarse pyramid for "
+                "large-init capture instead")
         dims = field.window_dims
         c0 = (field.origin_cell if field.origin_cell is not None
               else jnp.zeros((3,), jnp.int32))
         origin_w = (jnp.asarray(spec.origin, jnp.float32)
                     + c0.astype(jnp.float32) * spec.leaf)
-        raster, _ = build_terms_raster(
-            src.points, src.mask, init_T, origin_w, spec.leaf, dims,
-            params.raster_q)
 
-    def lm_solve(T0, gamma, max_iters, tol, isotropic=False):
+        def bin_raster(T0):
+            r, _ = build_terms_raster(src.points, src.mask, T0, origin_w,
+                                      spec.leaf, dims, params.raster_q)
+            return r
+
+    def lm_solve(T0, gamma, max_iters, tol, isotropic=False, raster=None):
         if use_kernel and not isotropic:
             def terms(T):
                 H, b, cost, cnt = ndt_terms_raster(
@@ -740,13 +763,18 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
         it_c = it_c + it0
     if params.coarse_iterations > 0 and params.coarse_temperature_scale > 1.0:
         gamma_c = gamma_f * params.coarse_temperature_scale
+        raster_c = bin_raster(T_c) if use_kernel else None
         T_c, _, _, _, _, _, it1, _ = lm_solve(
             T_c, gamma_c, params.coarse_iterations,
-            10.0 * params.tolerance)
+            10.0 * params.tolerance, raster=raster_c)
         it_c = it_c + it1
 
+    # fine stage: fresh bins at the coarse result (or the init when no
+    # coarse stage ran — then this is the solve's only bin)
+    raster_f = bin_raster(T_c) if use_kernel else None
     T, lam_lm, cost, H, b, frac, iters, dx = lm_solve(
-        T_c, gamma_f, params.max_iterations, params.tolerance)
+        T_c, gamma_f, params.max_iterations, params.tolerance,
+        raster=raster_f)
     n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
     return NDTResult(T=T, iterations=iters + it_c, score=-cost / n_src,
                      matched_fraction=frac, converged=dx <= params.tolerance)
