@@ -1,0 +1,327 @@
+"""Window-resident dense moment grid — the odometry-rate map structure.
+
+The sorted sparse voxel map (mapping.voxel_map) is the right global archive
+but the wrong per-scan write target on TPU: merging a scan into it re-sorts
+or gathers capacity-sized (C,3,3) payloads every scan (measured 112-250 ms
+per insert on v5e at C >= 262k, rounds 2-3).  Registration meanwhile only
+ever *reads* Gaussians inside a sensor-centered window (registration.ndt
+builds a dense plane tensor for exactly that region).  So the odometry-rate
+structure IS the window, kept dense:
+
+  * ``rows`` (G, 10) float32 per-cell moments [n, s(3), outer-triu(6)],
+    taken about each cell's own corner (float32-exact at leaf scale, the
+    same convention as VoxelMap.sum_pts/sum_outer);
+  * ``origin_cell`` (3,) int32 places window cell (0,0,0) on the GLOBAL
+    cell lattice of a VoxelGridSpec — a traced value, so the window
+    scrolls with the sensor without recompilation;
+  * insert = bin the scan by cell (sort + segment-sum, the primitives the
+    chip is fast at) + ONE unique-index scatter-add — no capacity-sized
+    sort or gather anywhere;
+  * the NDT field build skips the sparse->dense scatter entirely: three
+    separable 3x3x3 moment passes + closed-form floored inverses straight
+    on the grid (the math of registration.ndt._ndt_field_dense);
+  * scrolling = roll + zero the vacated slabs; shifts are kept multiples
+    of the pyramid factor so the coarse view stays lattice-aligned;
+  * the coarse pyramid level is DERIVED by block-summing the fine moments
+    (exact moment shift to the coarse corners) — no second map, no second
+    insert pass, unlike voxel_map.coarsen_map's full re-sort.
+
+Reference form: the CUDA core's GPU voxel structures for NDT matching
+(SURVEY.md §2.2 'Occupancy / voxel map', 'NDT voxel matching' [inferred]);
+the scrolling window mirrors how GPU SLAM engines keep a bounded local map
+resident in device memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.kernels.voxel_hash import VoxelGridSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseMomentGrid:
+    """Dense per-cell moment window on a global voxel lattice."""
+
+    rows: jax.Array          # (G, 10) f32 [n, sx, sy, sz, oxx, oxy, oxz,
+                             #              oyy, oyz, ozz], cell-corner local
+    origin_cell: jax.Array   # (3,) int32, window corner on the global grid
+    dims: Tuple[int, int, int] = dataclasses.field(
+        default=(64, 64, 32), metadata=dict(static=True))
+
+    @property
+    def g(self) -> int:
+        wx, wy, wz = self.dims
+        return wx * wy * wz
+
+
+def empty_grid(dims: Tuple[int, int, int],
+               origin_cell) -> DenseMomentGrid:
+    wx, wy, wz = dims
+    return DenseMomentGrid(
+        rows=jnp.zeros((wx * wy * wz, 10), jnp.float32),
+        origin_cell=jnp.asarray(origin_cell, jnp.int32), dims=dims)
+
+
+def centered_origin_cell(center_world, spec: VoxelGridSpec,
+                         dims: Tuple[int, int, int],
+                         align: int = 4) -> jax.Array:
+    """Window corner cell centering ``center_world``, clamped in-grid and
+    aligned to ``align`` cells (pyramid-lattice alignment, round-to-
+    nearest — floor alignment would bias the window up to align-1 cells
+    off-center)."""
+    wx, wy, wz = dims
+    n = spec.cells_per_axis
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    cc = jnp.floor((jnp.asarray(center_world, jnp.float32) - origin)
+                   / spec.leaf).astype(jnp.int32)
+    half = jnp.asarray([wx // 2, wy // 2, wz // 2], jnp.int32)
+    hi = jnp.asarray([n - wx, n - wy, n - wz], jnp.int32)
+    c0 = ((cc - half + align // 2) // align) * align
+    return jnp.clip(c0, 0, (hi // align) * align)
+
+
+@functools.partial(jax.jit, donate_argnums=0,
+                   static_argnames=("spec",))
+def grid_insert(grid: DenseMomentGrid, cloud: PointCloud,
+                spec: VoxelGridSpec,
+                weight: jax.Array | float = 1.0) -> DenseMomentGrid:
+    """Integrate a WORLD-frame cloud into the window.
+
+    ``weight`` scales every point's contribution (0.0 = no-op insert, the
+    branch-free reject path of the jitted odometry step).  Points outside
+    the window are dropped — the window is the odometry map.
+
+    Cost model (v5e, 131k-capacity cloud, 160x160x32 window): one argsort
+    on int32 keys + takes + 10-channel segment-sum + one unique-index
+    scatter-add; no (C, 3, 3) payload sorts.
+    """
+    wx, wy, wz = grid.dims
+    g = wx * wy * wz
+    pts = cloud.points
+    n = pts.shape[0]
+    origin_w = (jnp.asarray(spec.origin, jnp.float32)
+                + grid.origin_cell.astype(jnp.float32) * spec.leaf)
+    # clip BEFORE int conversion: padded points sit at 1e8 and would
+    # overflow int32 cell math
+    rel = jnp.clip((pts - origin_w) / spec.leaf, -1.0,
+                   jnp.asarray([wx, wy, wz], jnp.float32))
+    cc = jnp.floor(rel).astype(jnp.int32)
+    inside = (cloud.mask & (cc[:, 0] >= 0) & (cc[:, 0] < wx)
+              & (cc[:, 1] >= 0) & (cc[:, 1] < wy)
+              & (cc[:, 2] >= 0) & (cc[:, 2] < wz))
+    cell = (cc[:, 0] * wy + cc[:, 1]) * wz + cc[:, 2]
+    cell = jnp.where(inside, cell, g)
+
+    order = jnp.argsort(cell, stable=True)
+    scell = jnp.take(cell, order)
+    sp = jnp.take(pts, order, axis=0)
+    scc = jnp.take(cc, order, axis=0)
+    ok = scell < g
+    corner = origin_w + scc.astype(jnp.float32) * spec.leaf
+    local = jnp.where(ok[:, None], sp - corner, 0.0)
+    w = ok.astype(jnp.float32) * jnp.asarray(weight, jnp.float32)
+    lw = local * w[:, None]
+    rows = jnp.concatenate([
+        w[:, None], lw,
+        (local[:, 0:1] * lw[:, 0:3]),           # oxx oxy oxz
+        (local[:, 1:2] * lw[:, 1:3]),           # oyy oyz
+        (local[:, 2:3] * lw[:, 2:3])], axis=1)  # ozz
+
+    from tpu_slam.kernels.voxel_hash import segment_ids_from_sorted_keys
+    seg_ids, is_start = segment_ids_from_sorted_keys(scell)
+    agg = jax.ops.segment_sum(rows, seg_ids, num_segments=n)
+    segk = jax.ops.segment_max(jnp.where(is_start & ok, scell, -1), seg_ids,
+                               num_segments=n)
+    tgt = jnp.where(segk >= 0, segk, g)          # g = out of bounds, dropped
+    new_rows = grid.rows.at[tgt].add(agg, mode="drop", unique_indices=True)
+    return DenseMomentGrid(rows=new_rows, origin_cell=grid.origin_cell,
+                           dims=grid.dims)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def grid_scroll(grid: DenseMomentGrid, shift: jax.Array) -> DenseMomentGrid:
+    """Move the window by ``shift`` whole cells (traced; 0 = no-op).
+
+    Cell content is corner-local, so scrolling moves rows without touching
+    values; vacated slabs are zeroed (their content leaves the odometry
+    map — spill to a sparse archive is the caller's concern).
+    """
+    wx, wy, wz = grid.dims
+    a = grid.rows.reshape(wx, wy, wz, 10)
+    for ax in range(3):
+        s = shift[ax]
+        a = jnp.roll(a, -s, axis=ax)
+        n_ax = a.shape[ax]
+        pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, ax)
+        keep = (pos < n_ax - jnp.maximum(s, 0)) & (pos >= jnp.maximum(-s, 0))
+        a = jnp.where(keep, a, 0.0)
+    return DenseMomentGrid(rows=a.reshape(-1, 10),
+                           origin_cell=grid.origin_cell + shift,
+                           dims=grid.dims)
+
+
+def grid_recenter_shift(grid: DenseMomentGrid, center_world,
+                        spec: VoxelGridSpec, align: int = 4,
+                        deadband_fraction: float = 0.25) -> jax.Array:
+    """Shift (multiples of ``align``) that re-centers the window — with a
+    deadband: 0 until the sensor strays ``deadband_fraction`` of the
+    half-extent from the window center.
+
+    Every rebase permanently drops the trailing slab of observed map, so
+    rebases must be RARE events, not a per-step follow (a per-step
+    aligned follow was measured to cost 0.17 m of drift on an office
+    sequence — trailing evidence left the window while the leading space
+    was still unobserved).
+    """
+    target = centered_origin_cell(center_world, spec, grid.dims, align)
+    err = target - grid.origin_cell
+    half = jnp.asarray([d // 2 for d in grid.dims], jnp.int32)
+    limit = jnp.maximum((half.astype(jnp.float32)
+                         * deadband_fraction).astype(jnp.int32), align)
+    need = jnp.any(jnp.abs(err) >= limit)
+    return jnp.where(need, err, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "factor"))
+def grid_coarsen(grid: DenseMomentGrid, spec: VoxelGridSpec,
+                 factor: int = 4) -> DenseMomentGrid:
+    """Block-sum the fine moments into a factor-x coarser window.
+
+    Exact: each fine cell's corner-local moments are shifted to its coarse
+    cell's corner (d = fine_corner - coarse_corner, a static per-sub-cell
+    offset) with the standard parallel-axis rule
+
+        s' = s + n d,   o'_ab = o_ab + d_a s_b + d_b s_a + n d_a d_b,
+
+    then summed over the factor^3 block — the same math as
+    voxel_map.coarsen_map without its capacity-sized sort.  Requires
+    window dims divisible by ``factor`` and origin_cell aligned to it
+    (grid_recenter_shift keeps it so).
+    """
+    f = factor
+    wx, wy, wz = grid.dims
+    if wx % f or wy % f or wz % f:
+        raise ValueError(f"dims {grid.dims} not divisible by factor {f}")
+    t = spec.leaf
+    a = grid.rows.reshape(wx // f, f, wy // f, f, wz // f, f, 10)
+    # per-sub-cell corner offsets (meters)
+    dx = (jnp.arange(f, dtype=jnp.float32) * t).reshape(1, f, 1, 1, 1, 1)
+    dy = (jnp.arange(f, dtype=jnp.float32) * t).reshape(1, 1, 1, f, 1, 1)
+    dz = (jnp.arange(f, dtype=jnp.float32) * t).reshape(1, 1, 1, 1, 1, f)
+    n = a[..., 0]
+    sx, sy, sz = a[..., 1], a[..., 2], a[..., 3]
+    oxx, oxy, oxz = a[..., 4], a[..., 5], a[..., 6]
+    oyy, oyz, ozz = a[..., 7], a[..., 8], a[..., 9]
+    sx2 = sx + n * dx
+    sy2 = sy + n * dy
+    sz2 = sz + n * dz
+    out = jnp.stack([
+        n, sx2, sy2, sz2,
+        oxx + 2.0 * dx * sx + n * dx * dx,
+        oxy + dx * sy + dy * sx + n * dx * dy,
+        oxz + dx * sz + dz * sx + n * dx * dz,
+        oyy + 2.0 * dy * sy + n * dy * dy,
+        oyz + dy * sz + dz * sy + n * dy * dz,
+        ozz + 2.0 * dz * sz + n * dz * dz,
+    ], axis=-1)
+    coarse = jnp.sum(out, axis=(1, 3, 5))
+    return DenseMomentGrid(rows=coarse.reshape(-1, 10),
+                           origin_cell=grid.origin_cell // f,
+                           dims=(wx // f, wy // f, wz // f))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "min_voxel_count", "evec_floor_ratio"))
+def grid_ndt_field(grid: DenseMomentGrid, spec: VoxelGridSpec,
+                   min_voxel_count: float = 5.0,
+                   evec_floor_ratio: float = 0.01):
+    """NDT plane tensor straight from the window moments.
+
+    Returns a planes-only registration.ndt.NDTField (Pallas raster path):
+    three separable 3x3x3 moment-aggregation passes, closed-form floored
+    inverses, channel-major plane transpose.  No sparse scatter — the
+    window IS the map.  ``spec`` must be the lattice the grid lives on
+    (pass the coarse spec for a coarsened grid).
+    """
+    from tpu_slam.core.sym3 import floored_info_sym3_tri
+    from tpu_slam.kernels.ndt_terms import rows_to_planes
+    from tpu_slam.registration.ndt import NDTField, _nbr_moment_pass
+
+    wx, wy, wz = grid.dims
+    g = wx * wy * wz
+    occ = grid.rows[:, 0] > 0.0
+    a = grid.rows.reshape(wx, wy, wz, 10)
+    for axis in (2, 1, 0):
+        a = _nbr_moment_pass(a, axis, spec.leaf)
+    a = a.reshape(g, 10)
+
+    cnt = a[:, 0]
+    safe = jnp.maximum(cnt, 1e-6)
+    mean_local = a[:, 1:4] / safe[:, None]
+    mx, my, mz = mean_local[:, 0], mean_local[:, 1], mean_local[:, 2]
+    inv = 1.0 / safe
+    cov_tri = (a[:, 4] * inv - mx * mx, a[:, 5] * inv - mx * my,
+               a[:, 6] * inv - mx * mz, a[:, 7] * inv - my * my,
+               a[:, 8] * inv - my * mz, a[:, 9] * inv - mz * mz)
+    info_tri = floored_info_sym3_tri(cov_tri, evec_floor_ratio)
+    valid = occ & (cnt >= min_voxel_count)
+
+    ci = jnp.arange(g, dtype=jnp.int32)
+    cell = jnp.stack([ci // (wy * wz), (ci // wz) % wy, ci % wz], axis=1)
+    cell = cell + grid.origin_cell[None, :]
+    origin = jnp.asarray(spec.origin, jnp.float32)
+    mean_world = cell.astype(jnp.float32) * spec.leaf + origin + mean_local
+
+    rows16 = jnp.concatenate(
+        [mean_world] + [c[:, None] for c in info_tri]
+        + [valid[:, None].astype(jnp.float32),
+           jnp.zeros((g, 6), jnp.float32)], axis=1)
+    rows16 = jnp.where(valid[:, None], rows16, 0.0)
+    planes = rows_to_planes(rows16, grid.dims)
+    return NDTField(keys=jnp.zeros((1,), jnp.int32), means=None, info=None,
+                    valid=None, lookup=None, packed=None, nbr_rows=None,
+                    planes=planes, origin_cell=grid.origin_cell,
+                    window_dims=grid.dims)
+
+
+def grid_to_sparse_aggregates(grid: DenseMomentGrid, spec: VoxelGridSpec,
+                              max_out: Optional[int] = None):
+    """Window contents as sparse per-voxel aggregates (global keys).
+
+    For spilling into a mapping.voxel_map.VoxelMap archive (checkpoint,
+    loop-closure map, global export): returns (keys, count, sum_pts,
+    sum_outer) in the insert_scan_stats convention, compacted to the
+    first ``max_out`` occupied cells (default: all G rows).
+    """
+    from tpu_slam.kernels.voxel_hash import INVALID_KEY
+
+    wx, wy, wz = grid.dims
+    g = wx * wy * wz
+    b = spec.dim_bits
+    ci = jnp.arange(g, dtype=jnp.int32)
+    cell = jnp.stack([ci // (wy * wz), (ci // wz) % wy, ci % wz], axis=1)
+    cell = cell + grid.origin_cell[None, :]
+    keys = (cell[:, 0] << (2 * b)) | (cell[:, 1] << b) | cell[:, 2]
+    occ = grid.rows[:, 0] > 0.0
+    keys = jnp.where(occ, keys, INVALID_KEY)
+    order = jnp.argsort(keys, stable=True)
+    if max_out is not None:
+        order = order[:max_out]
+    k = jnp.take(keys, order)
+    r = jnp.take(grid.rows, order, axis=0)
+    cnt = r[:, 0]
+    s = r[:, 1:4]
+    tri = r[:, 4:10]
+    outer = jnp.stack([
+        jnp.stack([tri[:, 0], tri[:, 1], tri[:, 2]], -1),
+        jnp.stack([tri[:, 1], tri[:, 3], tri[:, 4]], -1),
+        jnp.stack([tri[:, 2], tri[:, 4], tri[:, 5]], -1)], -2)
+    return k, cnt, s, outer

@@ -1,0 +1,211 @@
+"""Dense-window odometry: the whole per-scan update as ONE device program.
+
+The round-3 odometry spent 250 ms/scan merging scans into the sparse
+voxel map and 30 ms rebuilding the NDT field from it — 18x and 2x the
+14 ms register step (VERDICT.md r3).  This engine removes both: the
+odometry-rate map IS a scrolling dense moment window
+(mapping.dense_map.DenseMomentGrid), so
+
+  * insert      = segment-sum + one unique scatter-add   (~3 ms),
+  * field build = three shift-add passes + inverses      (~8 ms),
+  * coarse pyramid = block-sum of the same moments       (~1 ms),
+
+and the entire step — scroll, coarse+fine NDT register, gating, insert —
+is a single donated-state jit dispatch.  Run it synchronously for
+per-scan metrics or asynchronously for serving (the PP-analog overlap:
+host scan prep runs under device compute, SURVEY.md §2.3).
+
+The reference's equivalent loop lived in the CUDA gpu_6dslam node
+(SURVEY.md §1 L6 [inferred]); keeping the working set dense and resident
+in device memory mirrors how GPU SLAM engines bound their local map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_slam.core import se3
+from tpu_slam.core.pointcloud import PointCloud
+from tpu_slam.kernels.downsample import voxel_downsample
+from tpu_slam.kernels.voxel_hash import VoxelGridSpec
+from tpu_slam.mapping.dense_map import (DenseMomentGrid, centered_origin_cell,
+                                        empty_grid, grid_coarsen,
+                                        grid_insert, grid_ndt_field,
+                                        grid_recenter_shift, grid_scroll)
+from tpu_slam.pipeline.config import OdometryConfig
+from tpu_slam.pipeline.metrics import MetricsLog, ScanMetrics, Stopwatch
+from tpu_slam.registration.ndt import ndt_register
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseOdomState:
+    """Device-resident odometry state (a single pytree)."""
+
+    pose: jax.Array          # (4, 4) world<-body
+    last_delta: jax.Array    # (4, 4)
+    grid: DenseMomentGrid
+    scan_index: jax.Array    # () int32
+    last_metrics: jax.Array  # (5,) [iterations, frac, accepted, inserted,
+                             #       coarse_frac]
+
+
+class DenseLidarOdometry:
+    """One-dispatch-per-scan dense-window odometry engine."""
+
+    def __init__(self, config: OdometryConfig = OdometryConfig()):
+        if config.method != "ndt":
+            raise ValueError("DenseLidarOdometry supports method='ndt'")
+        if config.ndt.window_dims is None:
+            raise ValueError("config.ndt.window_dims must be set (the dense "
+                             "window shape)")
+        self.config = config
+        self.map_spec = config.map_spec()
+        self.scan_spec = config.scan_spec()
+        self.dims = config.ndt.window_dims
+        self.factor = max(1, config.pyramid_factor)
+        if self.factor > 1:
+            from tpu_slam.mapping.voxel_map import coarse_spec_of
+            self.coarse_spec = coarse_spec_of(self.map_spec, self.factor)
+            self.coarse_params = self._coarse_params()
+        self.metrics = MetricsLog()
+        self._step = jax.jit(self._step_impl, donate_argnums=0)
+
+    def _coarse_params(self):
+        cfg = self.config
+        f = self.factor
+        return dataclasses.replace(
+            cfg.ndt,
+            max_iterations=max(6, cfg.ndt.max_iterations // 2),
+            coarse_iterations=max(2, cfg.ndt.coarse_iterations),
+            max_corr_dist=cfg.ndt.max_corr_dist * f,
+            # a coarse cell holds ~f^2 x more scan points (surface scaling);
+            # without this the Q-capacity raster drops most of the scan and
+            # the coarse objective is a biased subsample
+            raster_q=min(64, cfg.ndt.raster_q * f * f),
+            window_dims=tuple(d // f for d in self.dims))
+
+    # -- lifecycle --------------------------------------------------------
+
+    def init_state(self, first_cloud: PointCloud,
+                   init_pose: Optional[jax.Array] = None) -> DenseOdomState:
+        pose = (jnp.eye(4, dtype=jnp.float32) if init_pose is None
+                else jnp.asarray(init_pose, jnp.float32))
+        c0 = centered_origin_cell(pose[:3, 3], self.map_spec, self.dims,
+                                  align=self.factor)
+        grid = empty_grid(self.dims, c0)
+        grid = grid_insert(grid, first_cloud.transform(pose), self.map_spec)
+        return DenseOdomState(
+            pose=pose, last_delta=jnp.eye(4, dtype=jnp.float32), grid=grid,
+            scan_index=jnp.int32(1),
+            last_metrics=jnp.zeros((5,), jnp.float32))
+
+    def step(self, state: DenseOdomState, cloud: PointCloud
+             ) -> DenseOdomState:
+        """One scan; old state is donated (async — does not sync)."""
+        return self._step(state, cloud)
+
+    # -- the compiled step ------------------------------------------------
+
+    def _clamped_delta(self, delta):
+        cfg = self.config
+        xi = se3.log(delta)
+        t_n = jnp.linalg.norm(xi[:3])
+        r_n = jnp.linalg.norm(xi[3:])
+        scale = jnp.minimum(
+            jnp.minimum(1.0, cfg.max_pred_translation
+                        / jnp.maximum(t_n, 1e-9)),
+            jnp.minimum(1.0, cfg.max_pred_rotation / jnp.maximum(r_n, 1e-9)))
+        return se3.exp(xi * scale)
+
+    def _step_impl(self, state: DenseOdomState, cloud: PointCloud
+                   ) -> DenseOdomState:
+        cfg = self.config
+
+        pred = self._clamped_delta(state.last_delta)
+        if cfg.deskew:
+            from tpu_slam.ingest.deskew import (deskew_cloud,
+                                                vlp16_time_fractions)
+            frac = vlp16_time_fractions(cloud.points)
+            cloud = deskew_cloud(cloud, frac, T_start=se3.inverse(pred),
+                                 T_end=jnp.eye(4, dtype=jnp.float32))
+        scan = voxel_downsample(cloud, self.scan_spec,
+                                capacity=cfg.scan_capacity)
+        init_T = state.pose @ pred
+
+        # scroll the window when the predicted pose leaves its core
+        shift = grid_recenter_shift(state.grid, init_T[:3, 3], self.map_spec,
+                                    align=self.factor,
+                                    deadband_fraction=cfg.rebase_fraction)
+        grid = grid_scroll(state.grid, shift)
+
+        # coarse pyramid capture (block-summed moments), then fine polish
+        coarse_frac = jnp.float32(1.0)
+        T1 = init_T
+        if self.factor > 1:
+            cgrid = grid_coarsen(grid, self.map_spec, self.factor)
+            cfield = grid_ndt_field(cgrid, self.coarse_spec,
+                                    min_voxel_count=cfg.ndt.min_voxel_count,
+                                    evec_floor_ratio=cfg.ndt.evec_floor_ratio)
+            rc = ndt_register(scan, cfield, self.coarse_spec, init_T=init_T,
+                              params=self.coarse_params)
+            T1, coarse_frac = rc.T, rc.matched_fraction
+        field = grid_ndt_field(grid, self.map_spec,
+                               min_voxel_count=cfg.ndt.min_voxel_count,
+                               evec_floor_ratio=cfg.ndt.evec_floor_ratio)
+        res = ndt_register(scan, field, self.map_spec, init_T=T1,
+                           params=cfg.ndt)
+
+        accepted = res.matched_fraction >= cfg.min_accept_fraction
+        T = jnp.where(accepted, res.T, init_T)
+        delta = se3.inverse(state.pose) @ T
+
+        do_insert = accepted & (res.matched_fraction
+                                >= cfg.min_insert_fraction)
+        grid = grid_insert(grid, cloud.transform(T), self.map_spec,
+                           weight=do_insert.astype(jnp.float32))
+
+        metrics = jnp.stack([
+            res.iterations.astype(jnp.float32), res.matched_fraction,
+            accepted.astype(jnp.float32), do_insert.astype(jnp.float32),
+            coarse_frac])
+        return DenseOdomState(pose=T, last_delta=delta, grid=grid,
+                              scan_index=state.scan_index + 1,
+                              last_metrics=metrics)
+
+    # -- host conveniences ------------------------------------------------
+
+    def run(self, clouds, init_pose: Optional[jax.Array] = None,
+            sync_every: int = 1) -> Tuple[np.ndarray, MetricsLog]:
+        """Process an iterable of clouds; returns (poses (N,4,4), log).
+
+        ``sync_every`` = 1 reads pose+metrics per scan (diagnostic mode);
+        larger values only sync every k scans (serving mode — poses of
+        un-synced scans are still collected, asynchronously).
+        """
+        it = iter(clouds)
+        first = next(it)
+        state = self.init_state(first, init_pose)
+        # pose buffers are donated by the next step — keep device COPIES
+        # (dispatched before the donating step, so this stays async)
+        poses = [jnp.array(state.pose, copy=True)]
+        for k, cloud in enumerate(it, start=1):
+            with Stopwatch() as sw:
+                state = self.step(state, cloud)
+                if sync_every and k % sync_every == 0:
+                    jax.block_until_ready(state.pose)
+            m_dev = state.last_metrics
+            poses.append(jnp.array(state.pose, copy=True))
+            if sync_every and k % sync_every == 0:
+                m = np.asarray(m_dev)
+                self.metrics.append(ScanMetrics(
+                    scan_index=k, iterations=int(m[0]),
+                    residual=0.0, matched_fraction=float(m[1]),
+                    wall_time_s=sw.elapsed))
+        jax.block_until_ready(state.pose)
+        return np.stack([np.asarray(p) for p in poses]), self.metrics
