@@ -331,3 +331,31 @@ def test_heartbeat_recovery_path(tmp_path):
         state, _ = slam.step(state, c)
     np.testing.assert_allclose(np.asarray(state_b.odom.pose),
                                np.asarray(state.odom.pose), atol=1e-5)
+
+
+def test_sharded_pallas_tier_matches_single_chip_kernel():
+    """Pallas raster tier (interpret): sharded == single-chip kernel path.
+
+    terms_impl='pallas_interpret' flips both sides onto the raster-terms
+    kernel; the sharded side runs it per halo-extended chunk with
+    psum-combined H/b/cost (round-3 verdict item 4).
+    """
+    mesh, spec, single, smap, src, params, xi_true = _ndt_parity_case(
+        half_extent=16.0, window_bits=6)
+    import dataclasses as _dc
+    params = _dc.replace(params, terms_impl="pallas_interpret",
+                         max_iterations=12, coarse_iterations=2)
+    field = ndt_field(single, spec, params)
+    assert field.planes is not None        # single-chip kernel tier active
+    res1 = ndt_register(src, field, spec, params=params)
+    res8 = ndt_register_sharded(mesh, src, smap, spec, params=params)
+    np.testing.assert_allclose(np.asarray(res8.T), np.asarray(res1.T),
+                               atol=1e-4)
+    assert abs(float(res8.score) - float(res1.score)) < 1e-3
+    # matched fraction: owner-only counting may undercount points whose
+    # every Gaussian sits across a chunk boundary — allow a small gap
+    assert abs(float(res8.matched_fraction)
+               - float(res1.matched_fraction)) < 0.02
+    err = se3.log(se3.compose(se3.inverse(se3.exp(xi_true)), res8.T))
+    assert float(jnp.linalg.norm(err[:3])) < 0.06
+    assert float(jnp.linalg.norm(err[3:])) < 0.03

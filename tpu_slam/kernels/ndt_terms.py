@@ -366,14 +366,22 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "q_cap", "interpret"))
+                   static_argnames=("dims", "q_cap", "interpret",
+                                    "owned_planes"))
 def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
                      T: jax.Array, gamma: jax.Array, max_corr_dist: float,
                      dims: Tuple[int, int, int], q_cap: int,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     owned_planes: Tuple[int, int] | None = None):
     """Frozen-bin NDT terms pass (Pallas).
 
     Returns (H (6,6), b (6,), cost (), matched_count ()).
+
+    ``owned_planes`` (lo, hi): restrict the matched COUNT to x-planes
+    [lo, hi) — the sharded path bins the scan into halo-extended local
+    windows, so each device counts only points binned in its owned chunk
+    (H/b/cost still sum every plane; cross-chunk (point, Gaussian) pairs
+    are partitioned by Gaussian ownership and psum exactly).
     """
     wx, wy, wz = dims
     _, _, _, l8 = _split_dims(dims)
@@ -415,7 +423,11 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
     H = H + jnp.triu(H, 1).T
     b = tot[21:27]
     cost = -tot[27]
-    matched = tot[28]
+    if owned_planes is not None:
+        lo, hi = owned_planes
+        matched = jnp.sum(out[lo:hi, 28])
+    else:
+        matched = tot[28]
     return H, b, cost, matched
 
 

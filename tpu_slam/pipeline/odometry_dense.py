@@ -73,6 +73,12 @@ class DenseLidarOdometry:
             from tpu_slam.mapping.voxel_map import coarse_spec_of
             self.coarse_spec = coarse_spec_of(self.map_spec, self.factor)
             self.coarse_params = self._coarse_params()
+            # coarse-stage scan: downsampled at half the coarse leaf, so
+            # each coarse cell sees <= ~2 Q slots' worth of points
+            self.coarse_scan_spec = VoxelGridSpec.centered(
+                leaf=config.map_leaf * self.factor / 2,
+                half_extent=config.map_half_extent)
+            self.coarse_scan_capacity = max(2048, config.scan_capacity // 4)
         self.metrics = MetricsLog()
         self._step = jax.jit(self._step_impl, donate_argnums=0)
 
@@ -84,10 +90,12 @@ class DenseLidarOdometry:
             max_iterations=max(6, cfg.ndt.max_iterations // 2),
             coarse_iterations=max(2, cfg.ndt.coarse_iterations),
             max_corr_dist=cfg.ndt.max_corr_dist * f,
-            # a coarse cell holds ~f^2 x more scan points (surface scaling);
-            # without this the Q-capacity raster drops most of the scan and
-            # the coarse objective is a biased subsample
-            raster_q=min(64, cfg.ndt.raster_q * f * f),
+            # the coarse stage registers a coarser-downsampled scan (see
+            # _step_impl) so ~2x raster capacity absorbs the per-cell
+            # occupancy; raising Q directly instead (e.g. f^2 x) unrolls
+            # Q x 27 accumulator sets in the Pallas kernel and explodes
+            # the Mosaic compile
+            raster_q=min(8, cfg.ndt.raster_q * 2),
             window_dims=tuple(d // f for d in self.dims))
 
     # -- lifecycle --------------------------------------------------------
@@ -152,7 +160,9 @@ class DenseLidarOdometry:
             cfield = grid_ndt_field(cgrid, self.coarse_spec,
                                     min_voxel_count=cfg.ndt.min_voxel_count,
                                     evec_floor_ratio=cfg.ndt.evec_floor_ratio)
-            rc = ndt_register(scan, cfield, self.coarse_spec, init_T=init_T,
+            cscan = voxel_downsample(cloud, self.coarse_scan_spec,
+                                     capacity=self.coarse_scan_capacity)
+            rc = ndt_register(cscan, cfield, self.coarse_spec, init_T=init_T,
                               params=self.coarse_params)
             T1, coarse_frac = rc.T, rc.matched_fraction
         field = grid_ndt_field(grid, self.map_spec,

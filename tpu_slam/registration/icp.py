@@ -138,3 +138,90 @@ def icp(source: PointCloud, target: PointCloud,
     return ICPResult(T=T, iterations=iters, error=err,
                      matched_fraction=frac,
                      converged=dx <= params.tolerance)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "dims", "leaf", "qs", "qt",
+                                    "interpret"))
+def icp_raster(source: PointCloud, target: PointCloud,
+               init_T: Optional[jax.Array] = None,
+               params: ICPParams = ICPParams(),
+               dims: tuple = (32, 32, 16), leaf: float = 0.5,
+               qs: int = 8, qt: int = 8,
+               origin_world: Optional[jax.Array] = None,
+               interpret: bool = False) -> ICPResult:
+    """Pair ICP on the fused Pallas raster kernel (kernels.icp_terms).
+
+    Both clouds are binned once into the dense cell raster (target in
+    world frame, source at ``init_T``); every GN iteration is then ONE
+    kernel pass fusing 27-neighborhood correspondence search, Huber
+    weighting, and the 6x6 reduction — no per-point gathers.  Exact NN
+    within one ``leaf``; correspondences beyond ~leaf are not seen, so
+    pick leaf >= the expected initial displacement (the brute-force
+    ``icp`` covers arbitrary displacement at O(N^2) cost).
+
+    ``dims`` x ``leaf`` must cover both clouds around ``origin_world``
+    (default: centered on the target centroid); points outside the
+    window or beyond the per-cell capacity ``qs``/``qt`` drop out of the
+    objective (counted against matched_fraction honestly).
+    """
+    from tpu_slam.kernels.icp_terms import icp_terms_raster
+    from tpu_slam.kernels.ndt_terms import build_terms_raster
+
+    if init_T is None:
+        init_T = jnp.eye(4, dtype=source.points.dtype)
+    src = source.sanitize()
+    tgt = target.sanitize()
+    n_valid = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
+
+    if origin_world is None:
+        tw = jnp.sum(tgt.mask.astype(jnp.float32))
+        cen = (jnp.sum(jnp.where(tgt.mask[:, None], tgt.points, 0.0), axis=0)
+               / jnp.maximum(tw, 1.0))
+        half = jnp.asarray([d * leaf / 2 for d in dims], jnp.float32)
+        origin_world = jnp.round((cen - half) / leaf) * leaf
+    eye = jnp.eye(4, dtype=jnp.float32)
+    tgt_raster, _ = build_terms_raster(tgt.points, tgt.mask, eye,
+                                       origin_world, leaf, dims, qt)
+
+    def cond(state):
+        T, it, dx, err, frac = state
+        return jnp.logical_and(it < params.max_iterations,
+                               dx > params.tolerance)
+
+    def solve_stage(T0, max_iters, it0):
+        src_raster, _ = build_terms_raster(src.points, src.mask, T0,
+                                           origin_world, leaf, dims, qs)
+
+        def cond(state):
+            T, it, dx, _, _ = state
+            return jnp.logical_and(it < max_iters, dx > params.tolerance)
+
+        def body(state):
+            T, it, dx, _, _ = state
+            H, b, err, nmatch, wsum = icp_terms_raster(
+                src_raster, tgt_raster, T, params.max_corr_dist,
+                params.huber_delta, dims, qs, qt, interpret=interpret)
+            H = (H + params.damping * jnp.trace(H) / 6.0
+                 * jnp.eye(6, dtype=H.dtype))
+            xi = -jnp.linalg.solve(H, b)
+            xi = jnp.where(jnp.isfinite(xi), xi, 0.0)
+            T_new = se3.retract(T, xi)
+            frac = nmatch / n_valid
+            return (T_new, it + 1, jnp.linalg.norm(xi),
+                    err / jnp.maximum(wsum, 1e-6), frac)
+
+        init = (T0, it0, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+                jnp.float32(0.0))
+        return jax.lax.while_loop(cond, body, init)
+
+    # two stages with a re-bin between: the first absorbs the init error,
+    # the second re-bins at the refined pose so the frozen 27-neighborhoods
+    # and per-cell Q subsets track the converged alignment (one frozen bin
+    # for the whole solve measured ~4 cm of residual bias at 0.15 m inits)
+    half = max(1, params.max_iterations // 2)
+    T_m, it_m, _, _, _ = solve_stage(init_T, half, jnp.int32(0))
+    T, iters, dx, err, frac = solve_stage(T_m, params.max_iterations, it_m)
+    return ICPResult(T=T, iterations=iters, error=err,
+                     matched_fraction=frac,
+                     converged=dx <= params.tolerance)
