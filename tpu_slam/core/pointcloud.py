@@ -63,6 +63,35 @@ class PointCloud:
             a = jnp.concatenate([attrs, pad_a], axis=0)
         return PointCloud(points=pts, mask=mask, attrs=a)
 
+    @staticmethod
+    def from_points_host(points, capacity: int,
+                         attrs=None) -> "PointCloud":
+        """Build from a HOST (numpy) (M, 3) array, padding in numpy.
+
+        The eager-jnp ``from_points`` dispatches shape-(M,...) pad ops per
+        call — on a remote-attached TPU every distinct M costs a compile
+        round-trip (~40 s through the tunnel, measured r4).  Padding on
+        the host uploads one fixed-shape buffer instead.
+        """
+        import numpy as np
+
+        pts = np.asarray(points, np.float32)
+        m = pts.shape[0]
+        if m > capacity:
+            raise ValueError(f"{m} points exceed capacity {capacity}")
+        out = np.full((capacity, 3), PAD_COORD, np.float32)
+        out[:m] = pts
+        mask = np.zeros((capacity,), bool)
+        mask[:m] = True
+        a = None
+        if attrs is not None:
+            attrs = np.asarray(attrs)
+            a = np.zeros((capacity, attrs.shape[1]), attrs.dtype)
+            a[:m] = attrs
+            a = jnp.asarray(a)
+        return PointCloud(points=jnp.asarray(out), mask=jnp.asarray(mask),
+                          attrs=a)
+
     def transform(self, T: jax.Array) -> "PointCloud":
         from tpu_slam.core import se3
         pts = se3.apply(T, self.points)

@@ -99,6 +99,11 @@ class SLAMConfig:
     """Full SLAM system configuration (odometry + graph backend)."""
 
     odometry: OdometryConfig = OdometryConfig()
+    odometry_engine: str = "host"       # 'host' (pipeline.odometry sparse-
+                                        # map loop) | 'dense' (one-dispatch
+                                        # dense-window engine,
+                                        # pipeline.odometry_dense — needs
+                                        # odometry.ndt.window_dims)
 
     # Keyframe policy
     keyframe_translation: float = 0.5   # new keyframe after this motion (m)

@@ -66,13 +66,16 @@ class LivePipeline:
         self._dirs = None            # (L, 3) beam direction table
         self._producer_done = threading.Event()
         self._producer_error: Optional[BaseException] = None
+        self._enc_hist = None        # EncoderHistory when interpolating
+        self.line_angles: List[Tuple[float, float]] = []  # (t, angle) used
 
     # -- producer ----------------------------------------------------------
 
     def _produce(self, lms: NativeLms, feeder: NativeFeeder,
-                 angle_source: Callable[[], float],
+                 angle_source: Optional[Callable[[], float]],
                  max_lines: Optional[int]) -> None:
         n = 0
+        interp = self._enc_hist is not None
         try:
             while max_lines is None or n < max_lines:
                 out = lms.poll(timeout_ms=self.config.poll_timeout_ms)
@@ -83,9 +86,18 @@ class LivePipeline:
                     self._meta0 = meta
                 if intens.size != ranges.size:
                     intens = np.zeros_like(ranges)
+                # interpolated mode: the feeder's angle slot carries the
+                # line's host ARRIVAL time RELATIVE to run start — the slot
+                # is float32, and absolute monotonic time (~1e4 s) would
+                # lose ~50 ms of precision in it. The consumer interpolates
+                # the encoder history at it (the reference's
+                # time-interpolated TF join, m3d_aggregator.cpp:261-262).
+                # Legacy mode: sample the angle source at arrival.
+                a = (time.monotonic() - self._t_ref if interp
+                     else float(angle_source()))
                 feeder.push(ranges, intens,
                             stamp=meta.time_since_startup_us * 1e-6,
-                            angle=float(angle_source()))
+                            angle=a)
                 n += 1
         except ConnectionError:
             pass                                     # device closed: drain
@@ -116,17 +128,44 @@ class LivePipeline:
             angle_source: Callable[[], float],
             max_scans: Optional[int] = None,
             max_lines: Optional[int] = None,
-            on_scan: Optional[Callable] = None) -> List[Tuple]:
+            on_scan: Optional[Callable] = None,
+            encoder_rate_hz: float = 0.0) -> List[Tuple]:
         """Drive the chain until the stream ends or ``max_scans`` emitted.
 
         Returns a list of (cloud, slam_metrics_or_None) per emitted 3D
         scan; when a SLAMSystem was supplied each emitted cloud is also
         fed through it.
+
+        ``encoder_rate_hz`` > 0 enables the time-interpolated encoder
+        join: a sampler thread polls ``angle_source`` at that rate into an
+        EncoderHistory, and each line's angle is INTERPOLATED at the
+        line's arrival time (the reference's TF-buffer lookup,
+        m3d_aggregator.cpp:261-262) instead of sampled once per line.
+        The angles actually used are recorded in ``self.line_angles``.
         """
         import jax
         import jax.numpy as jnp
 
         cfg = self.config
+        sampler = None
+        self._enc_hist = None
+        self.line_angles = []
+        if encoder_rate_hz > 0:
+            from tpu_slam.ingest.frames import EncoderHistory
+            hist = EncoderHistory()
+            self._enc_hist = hist
+
+            def _sample():
+                # unwrap correctness needs consecutive samples < pi apart:
+                # encoder_rate_hz must exceed rotation_speed / pi (500 Hz
+                # covers any physical unit speed)
+                period = 1.0 / encoder_rate_hz
+                while not self._producer_done.is_set():
+                    hist.push(time.monotonic() - self._t_ref,
+                              float(angle_source()))
+                    time.sleep(period)
+
+            sampler = threading.Thread(target=_sample, daemon=True)
         feeder = NativeFeeder(cfg.feeder_slots, cfg.line_capacity)
         producer = threading.Thread(
             target=self._produce, args=(lms, feeder, angle_source, max_lines),
@@ -144,6 +183,13 @@ class LivePipeline:
         agg_state = self.aggregator.init_state()
         slam_state = self.slam.init_state() if self.slam is not None else None
         results: List[Tuple] = []
+        if sampler is not None:
+            # t_ref AFTER the warm-up compile: a reference sample taken
+            # minutes earlier would be > pi of rotation away from the
+            # sampler's first sample and fold the unwrap by 2 pi
+            self._t_ref = time.monotonic()
+            self._enc_hist.push(0.0, float(angle_source()))
+            sampler.start()
         producer.start()
         try:
             while max_scans is None or len(results) < max_scans:
@@ -153,6 +199,10 @@ class LivePipeline:
                         break
                     continue
                 ranges, intens, stamp, angle = out
+                if self._enc_hist is not None:
+                    t_arr = self._t_ref + float(angle)
+                    angle = self._enc_hist.at(float(angle))
+                    self.line_angles.append((t_arr, angle))
                 n = ranges.shape[0]
                 dirs = self._directions(n)
                 pts = dirs * ranges[:, None]

@@ -118,6 +118,10 @@ class DenseLidarOdometry:
         """One scan; old state is donated (async — does not sync)."""
         return self._step(state, cloud)
 
+    def downsample(self, cloud: PointCloud) -> PointCloud:
+        return voxel_downsample(cloud, self.scan_spec,
+                                capacity=self.config.scan_capacity)
+
     # -- the compiled step ------------------------------------------------
 
     def _clamped_delta(self, delta):

@@ -65,6 +65,29 @@ def _rebuild_map_batched(poses, kf_points, kf_mask, n, *, spec, capacity):
                         stamp=n.astype(jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "dims", "align"))
+def _rebuild_grid_batched(poses, kf_points, kf_mask, n, center,
+                          *, spec, dims, align):
+    """Dense-window rebuild from keyframes at optimized poses (one dispatch).
+
+    The dense-engine analog of _rebuild_map_batched: re-center the window
+    on the corrected pose, then one flat grid_insert of every live
+    keyframe point at its optimized pose.
+    """
+    from tpu_slam.mapping.dense_map import (centered_origin_cell, empty_grid,
+                                            grid_insert)
+
+    K, P = kf_points.shape[:2]
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    world = jnp.einsum("kij,kpj->kpi", R, kf_points) + t[:, None, :]
+    live = kf_mask & (jnp.arange(K, dtype=jnp.int32)[:, None] < n)
+    flat = PointCloud(points=world.reshape(K * P, 3),
+                      mask=live.reshape(K * P))
+    c0 = centered_origin_cell(center, spec, dims, align=align)
+    return grid_insert(empty_grid(dims, c0), flat, spec)
+
+
 class SLAMSystem:
     """The full pipeline. Feed aggregated 3D scans; read poses + map."""
 
@@ -77,8 +100,16 @@ class SLAMSystem:
                 "unbounded-world mode — SLAM bounds memory with the "
                 "fixed-lag keyframe window instead")
         self.config = config
-        self.odometry = LidarOdometry(config.odometry)
+        if config.odometry_engine == "dense":
+            from tpu_slam.pipeline.odometry_dense import DenseLidarOdometry
+            self.odometry = DenseLidarOdometry(config.odometry)
+        else:
+            self.odometry = LidarOdometry(config.odometry)
         self.metrics = MetricsLog()
+
+    @property
+    def _dense(self) -> bool:
+        return self.config.odometry_engine == "dense"
 
     # -- state ------------------------------------------------------------
 
@@ -86,8 +117,14 @@ class SLAMSystem:
         cfg = self.config
         K, P = cfg.keyframe_capacity, cfg.keyframe_cloud_capacity
         sc = cfg.loop.sc
+        if self._dense:
+            # the dense engine bootstraps from the first scan — defer
+            odom = None
+            self._pending_init_pose = init_pose
+        else:
+            odom = self.odometry.init_state(init_pose)
         return SLAMState(
-            odom=self.odometry.init_state(init_pose),
+            odom=odom,
             graph=empty_graph(cfg.keyframe_capacity, cfg.edge_capacity),
             kf_points=jnp.full((K, P, 3), PAD_COORD, jnp.float32),
             kf_mask=jnp.zeros((K, P), bool),
@@ -170,10 +207,13 @@ class SLAMSystem:
             graph = add_edge(graph, k - 1, k, Z,
                              info=cfg.odom_edge_info
                              * jnp.eye(6, dtype=jnp.float32))
+        # COPY the pose: the dense engine donates its state every step, and
+        # a shared buffer would be deleted out from under last_kf_pose
         return dataclasses.replace(state, graph=graph, kf_points=kf_points,
                                    kf_mask=kf_mask, kf_desc=kf_desc,
                                    n_keyframes=k + 1,
-                                   last_kf_pose=state.odom.pose)
+                                   last_kf_pose=jnp.array(state.odom.pose,
+                                                          copy=True))
 
     # -- loop closure -----------------------------------------------------
 
@@ -234,7 +274,17 @@ class SLAMSystem:
         new_pose = new_kf @ rel
 
         odom = state.odom
-        if cfg.rebuild_map_after_loop:
+        if self._dense:
+            if cfg.rebuild_map_after_loop:
+                grid = _rebuild_grid_batched(
+                    graph.poses, state.kf_points, state.kf_mask,
+                    jnp.int32(n), new_pose[:3, 3],
+                    spec=self.odometry.map_spec, dims=self.odometry.dims,
+                    align=self.odometry.factor)
+                odom = dataclasses.replace(odom, grid=grid, pose=new_pose)
+            else:
+                odom = dataclasses.replace(odom, pose=new_pose)
+        elif cfg.rebuild_map_after_loop:
             vmap = self._rebuild_map(graph, state.kf_points, state.kf_mask, n)
             # field=None: the cached NDT field is stale after a rebuild
             odom = dataclasses.replace(odom, vmap=vmap, pose=new_pose,
@@ -271,7 +321,21 @@ class SLAMSystem:
              ) -> Tuple[SLAMState, ScanMetrics]:
         cfg = self.config
         with Stopwatch() as sw:
-            odom_state, m = self.odometry.step(state.odom, cloud)
+            if self._dense:
+                if state.odom is None:
+                    odom_state = self.odometry.init_state(
+                        cloud, self._pending_init_pose)
+                    mm = np.zeros((5,), np.float32)
+                    mm[1:4] = 1.0
+                else:
+                    odom_state = self.odometry.step(state.odom, cloud)
+                    mm = np.asarray(odom_state.last_metrics)
+                m = ScanMetrics(scan_index=len(self.metrics.records),
+                                iterations=int(mm[0]), residual=0.0,
+                                matched_fraction=float(mm[1]),
+                                wall_time_s=0.0)
+            else:
+                odom_state, m = self.odometry.step(state.odom, cloud)
             state = dataclasses.replace(state, odom=odom_state)
 
             n_loops = 0

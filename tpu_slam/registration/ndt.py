@@ -95,6 +95,17 @@ class NDTParams:
                                      # raster (kernels.ndt_terms); cells with
                                      # more downsampled points than this drop
                                      # the excess from the objective
+    rebin_iters: int = 4             # kernel path: re-bin the raster every
+                                     # this many fine LM iterations (the
+                                     # coarse stage re-bins EVERY iteration).
+                                     # Frozen bins are translation-tolerant
+                                     # (within a cell) but rotation-hostile:
+                                     # a 0.2 rad step moves a 40 m point 8 m
+                                     # out of its frozen 27-neighborhood, so
+                                     # the objective at the true pose loses
+                                     # its far points while 'stay at the bin
+                                     # pose' keeps them — measured as the
+                                     # arc-turn lock-in of the r4 city bench
 
 
 @jax.tree_util.register_dataclass
@@ -752,6 +763,31 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
     # the widened basin pulls in inits beyond the fine objective's comb of
     # local minima (discrete scan patterns alias in yaw) — then the fine
     # stage polishes at the nominal temperature.
+    def staged_kernel_solve(T0, gamma, n_iters, iters_per_stage, tol):
+        """Re-binned LM: bin at the CURRENT pose every few iterations.
+
+        Frozen bins cannot express rotation (see NDTParams.rebin_iters);
+        re-binning at stage entry is the NDT analog of ICP re-association.
+        Convergence (dx <= tol) short-circuits remaining stages.
+        """
+        n_stages = -(-n_iters // iters_per_stage)
+
+        def cond(c):
+            s, T, it, frac, cost, dx = c
+            return (s < n_stages) & (dx > tol)
+
+        def body(c):
+            s, T, it, frac, cost, dx = c
+            raster = bin_raster(T)
+            T2, _, cost2, _, _, frac2, it2, dx2 = lm_solve(
+                T, gamma, iters_per_stage, tol, raster=raster)
+            return (s + 1, T2, it + it2, frac2, cost2, dx2)
+
+        init = (jnp.int32(0), T0, jnp.int32(0), jnp.float32(0.0),
+                jnp.float32(jnp.inf), jnp.float32(jnp.inf))
+        _, T, it, frac, cost, dx = jax.lax.while_loop(cond, body, init)
+        return T, it, frac, cost, dx
+
     gamma_f = jnp.float32(params.score_temperature)
     T_c, it_c = init_T, jnp.int32(0)
     if params.isotropic_iterations > 0:
@@ -763,18 +799,25 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
         it_c = it_c + it0
     if params.coarse_iterations > 0 and params.coarse_temperature_scale > 1.0:
         gamma_c = gamma_f * params.coarse_temperature_scale
-        raster_c = bin_raster(T_c) if use_kernel else None
-        T_c, _, _, _, _, _, it1, _ = lm_solve(
-            T_c, gamma_c, params.coarse_iterations,
-            10.0 * params.tolerance, raster=raster_c)
+        if use_kernel:
+            # coarse absorbs the large (often rotational) init error:
+            # re-bin every iteration — the coarse raster build is cheap
+            T_c, it1, _, _, _ = staged_kernel_solve(
+                T_c, gamma_c, params.coarse_iterations, 1,
+                10.0 * params.tolerance)
+        else:
+            T_c, _, _, _, _, _, it1, _ = lm_solve(
+                T_c, gamma_c, params.coarse_iterations,
+                10.0 * params.tolerance)
         it_c = it_c + it1
 
-    # fine stage: fresh bins at the coarse result (or the init when no
-    # coarse stage ran — then this is the solve's only bin)
-    raster_f = bin_raster(T_c) if use_kernel else None
-    T, lam_lm, cost, H, b, frac, iters, dx = lm_solve(
-        T_c, gamma_f, params.max_iterations, params.tolerance,
-        raster=raster_f)
+    if use_kernel:
+        T, iters, frac, cost, dx = staged_kernel_solve(
+            T_c, gamma_f, params.max_iterations,
+            max(1, params.rebin_iters), params.tolerance)
+    else:
+        T, lam_lm, cost, H, b, frac, iters, dx = lm_solve(
+            T_c, gamma_f, params.max_iterations, params.tolerance)
     n_src = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
     return NDTResult(T=T, iterations=iters + it_c, score=-cost / n_src,
                      matched_fraction=frac, converged=dx <= params.tolerance)
