@@ -39,6 +39,14 @@ class ScanContextParams:
     n_sectors: int = 60              # azimuthal bins
     max_range: float = 40.0          # radial extent of the descriptor
     min_z: float = -2.0              # height offset so empty != low
+    intensity_weight: float = 0.0    # > 0 blends the per-bin max INTENSITY
+                                     # (cloud.attrs channel 0, the RSSI the
+                                     # reference delivers at 0.01 scale —
+                                     # m3d_aggregator.cpp:269-286) into the
+                                     # descriptor: bin = max_z + w * max_i.
+                                     # Intensity is geometry-independent
+                                     # appearance — it separates places
+                                     # with similar height profiles
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -62,7 +70,13 @@ def scan_context(cloud: PointCloud,
     z = jnp.where(ok, pts[:, 2] - params.min_z, -jnp.inf)
     desc = jax.ops.segment_max(z, bin_id, num_segments=R * S + 1,
                                indices_are_sorted=False)[: R * S]
-    return jnp.maximum(desc, 0.0).reshape(R, S)
+    desc = jnp.maximum(desc, 0.0)
+    if params.intensity_weight > 0.0 and cloud.attrs is not None:
+        inten = jnp.where(ok, cloud.attrs[:, 0], -jnp.inf)
+        di = jax.ops.segment_max(inten, bin_id, num_segments=R * S + 1,
+                                 indices_are_sorted=False)[: R * S]
+        desc = desc + params.intensity_weight * jnp.maximum(di, 0.0)
+    return desc.reshape(R, S)
 
 
 def ring_key(desc: jax.Array) -> jax.Array:

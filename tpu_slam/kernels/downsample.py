@@ -48,15 +48,29 @@ def voxel_downsample(cloud: PointCloud, spec: VoxelGridSpec,
     seg_valid = jax.ops.segment_max(
         jnp.where(is_start & valid, 1, 0), seg_ids, num_segments=n) > 0
 
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    safe = jnp.maximum(counts, 1.0)
+    centroids = sums / safe[:, None]
     centroids = jnp.where(seg_valid[:, None], centroids, PAD_COORD)
 
-    out = PointCloud(points=centroids, mask=seg_valid)
+    attrs = None
+    if sorted_cloud.attrs is not None:
+        # per-voxel attribute mean (intensity etc.) — the channel the
+        # reference delivers as RSSI (m3d_aggregator.cpp:269-286) survives
+        # downsampling instead of being dropped here
+        a = jnp.where(valid[:, None], sorted_cloud.attrs, 0.0)
+        attrs = jax.ops.segment_sum(a, seg_ids, num_segments=n) / safe[:, None]
+        attrs = jnp.where(seg_valid[:, None], attrs, 0.0)
+
+    out = PointCloud(points=centroids, mask=seg_valid, attrs=attrs)
     out = out.compact()
     if out_n != n:
-        pts_o = out.points[:out_n] if out_n < n else jnp.concatenate(
-            [out.points, jnp.full((out_n - n, 3), PAD_COORD, out.points.dtype)])
-        mask_o = out.mask[:out_n] if out_n < n else jnp.concatenate(
-            [out.mask, jnp.zeros((out_n - n,), bool)])
-        out = PointCloud(points=pts_o, mask=mask_o)
+        def fit(x, fill):
+            if out_n < n:
+                return x[:out_n]
+            pad = jnp.full((out_n - n,) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, pad])
+        out = PointCloud(points=fit(out.points, PAD_COORD),
+                         mask=fit(out.mask, False),
+                         attrs=None if out.attrs is None
+                         else fit(out.attrs, 0.0))
     return out

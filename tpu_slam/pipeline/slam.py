@@ -39,6 +39,7 @@ class SLAMState:
     graph: PoseGraph
     kf_points: jax.Array       # (K, P, 3) keyframe clouds (body frame)
     kf_mask: jax.Array         # (K, P)
+    kf_intensity: jax.Array    # (K, P) per-point intensity (0 when absent)
     kf_desc: jax.Array         # (K, R, S) scan-context descriptors
     n_keyframes: int
     last_kf_pose: jax.Array    # (4, 4) pose of the newest keyframe
@@ -128,6 +129,7 @@ class SLAMSystem:
             graph=empty_graph(cfg.keyframe_capacity, cfg.edge_capacity),
             kf_points=jnp.full((K, P, 3), PAD_COORD, jnp.float32),
             kf_mask=jnp.zeros((K, P), bool),
+            kf_intensity=jnp.zeros((K, P), jnp.float32),
             kf_desc=jnp.zeros((K, sc.n_rings, sc.n_sectors), jnp.float32),
             n_keyframes=0,
             last_kf_pose=jnp.eye(4, dtype=jnp.float32),
@@ -163,11 +165,13 @@ class SLAMSystem:
         pad_pts = jnp.full((m,) + state.kf_points.shape[1:], PAD_COORD,
                            state.kf_points.dtype)
         pad_msk = jnp.zeros((m,) + state.kf_mask.shape[1:], bool)
+        pad_int = jnp.zeros((m,) + state.kf_intensity.shape[1:], jnp.float32)
         pad_desc = jnp.zeros((m,) + state.kf_desc.shape[1:], jnp.float32)
         return dataclasses.replace(
             state, graph=graph,
             kf_points=jnp.concatenate([state.kf_points[m:], pad_pts]),
             kf_mask=jnp.concatenate([state.kf_mask[m:], pad_msk]),
+            kf_intensity=jnp.concatenate([state.kf_intensity[m:], pad_int]),
             kf_desc=jnp.concatenate([state.kf_desc[m:], pad_desc]),
             n_keyframes=n - m, archived_poses=archived,
             n_evictions=state.n_evictions + m)
@@ -183,20 +187,27 @@ class SLAMSystem:
         # capacity — the scan capacity may be smaller OR larger
         P = cfg.keyframe_cloud_capacity
         n_in = scan_ds.points.shape[0]
+        inten_in = (scan_ds.attrs[:, 0] if scan_ds.attrs is not None
+                    else jnp.zeros((n_in,), jnp.float32))
         if n_in >= P:
             pts, msk = scan_ds.points[:P], scan_ds.mask[:P]
+            inten = inten_in[:P]
         else:
             pts = jnp.concatenate([
                 scan_ds.points,
                 jnp.full((P - n_in, 3), PAD_COORD, scan_ds.points.dtype)])
             msk = jnp.concatenate([scan_ds.mask,
                                    jnp.zeros((P - n_in,), bool)])
+            inten = jnp.concatenate([inten_in,
+                                     jnp.zeros((P - n_in,), jnp.float32)])
         kf_points = state.kf_points.at[k].set(pts)
         kf_mask = state.kf_mask.at[k].set(msk)
+        kf_intensity = state.kf_intensity.at[k].set(inten)
         kf_desc = state.kf_desc
         if cfg.loop.use_scan_context:
             from tpu_slam.graph.scan_context import scan_context
-            desc = scan_context(PointCloud(points=pts, mask=msk),
+            desc = scan_context(PointCloud(points=pts, mask=msk,
+                                           attrs=inten[:, None]),
                                 cfg.loop.sc)
             kf_desc = kf_desc.at[k].set(desc)
 
@@ -210,7 +221,9 @@ class SLAMSystem:
         # COPY the pose: the dense engine donates its state every step, and
         # a shared buffer would be deleted out from under last_kf_pose
         return dataclasses.replace(state, graph=graph, kf_points=kf_points,
-                                   kf_mask=kf_mask, kf_desc=kf_desc,
+                                   kf_mask=kf_mask,
+                                   kf_intensity=kf_intensity,
+                                   kf_desc=kf_desc,
                                    n_keyframes=k + 1,
                                    last_kf_pose=jnp.array(state.odom.pose,
                                                           copy=True))
