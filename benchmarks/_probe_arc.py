@@ -45,6 +45,7 @@ fparams = NDTParams(max_iterations=12, coarse_iterations=3,
 cparams = dataclasses.replace(
     fparams, max_iterations=6, coarse_iterations=2,
     max_corr_dist=fparams.max_corr_dist * 4, raster_q=8,
+    yaw_candidates=5, yaw_span=0.3,
     window_dims=(40, 40, 8))
 
 T0 = jnp.asarray(gt[0], jnp.float32)

@@ -96,6 +96,10 @@ class DenseLidarOdometry:
             # Q x 27 accumulator sets in the Pallas kernel and explodes
             # the Mosaic compile
             raster_q=min(8, cfg.ndt.raster_q * 2),
+            # yaw search at the coarse level: turns are the one motion the
+            # constant-velocity prediction misses on their first scan
+            yaw_candidates=max(5, cfg.ndt.yaw_candidates),
+            yaw_span=max(0.3, cfg.ndt.yaw_span),
             window_dims=tuple(d // f for d in self.dims))
 
     # -- lifecycle --------------------------------------------------------

@@ -95,6 +95,21 @@ class NDTParams:
                                      # raster (kernels.ndt_terms); cells with
                                      # more downsampled points than this drop
                                      # the excess from the objective
+    yaw_candidates: int = 0          # kernel path: before the coarse stage,
+                                     # evaluate the coarse objective at this
+                                     # many yaw offsets in +-yaw_span about
+                                     # the init's heading and start from the
+                                     # best. Yaw is the weakly-captured DoF:
+                                     # an unpredicted 0.2 rad turn moves far
+                                     # points out of every local basin while
+                                     # the 'stay on the mapped footprint'
+                                     # alias keeps its matches (measured as
+                                     # the r4 city arc lock-in; cost at the
+                                     # true pose was 2.3x better but
+                                     # unreachable by descent). One bin +
+                                     # one pass per candidate — ~0.1 ms
+                                     # each at coarse window sizes.
+    yaw_span: float = 0.3            # half-range of the yaw search (rad)
     rebin_iters: int = 4             # kernel path: re-bin the raster every
                                      # this many fine LM iterations (the
                                      # coarse stage re-bins EVERY iteration).
@@ -790,6 +805,32 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
 
     gamma_f = jnp.float32(params.score_temperature)
     T_c, it_c = init_T, jnp.int32(0)
+    if use_kernel and params.yaw_candidates > 1:
+        gamma_y = gamma_f * max(params.coarse_temperature_scale, 1.0)
+        offs = jnp.linspace(-params.yaw_span, params.yaw_span,
+                            params.yaw_candidates)
+
+        def cost_at(dyaw):
+            c, s = jnp.cos(dyaw), jnp.sin(dyaw)
+            Rz = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0],
+                            [0, 0, 0, 1.0]], jnp.float32)
+            Rz = Rz.at[0, 0].set(c).at[0, 1].set(-s)
+            Rz = Rz.at[1, 0].set(s).at[1, 1].set(c)
+            Ty = T_c @ Rz                   # rotate heading, keep position
+            from tpu_slam.kernels.ndt_terms import ndt_terms_raster as _ntr
+            _, _, cost, _ = _ntr(
+                bin_raster(Ty), field.planes, Ty, gamma_y,
+                params.max_corr_dist, field.window_dims, params.raster_q,
+                interpret=params.terms_impl == "pallas_interpret")
+            return cost, Ty
+
+        costs, Tys = [], []
+        for k in range(params.yaw_candidates):
+            cst, Ty = cost_at(offs[k])
+            costs.append(cst)
+            Tys.append(Ty)
+        best = jnp.argmin(jnp.stack(costs))
+        T_c = jnp.stack(Tys)[best]
     if params.isotropic_iterations > 0:
         # stage 0: point-to-mean pull — long-range basin independent of
         # the Gaussians' (often centimeter-thin) covariances
