@@ -203,7 +203,8 @@ def bench_odometry(n_poses=24):
         scan_capacity=32768, downsample_leaf=0.3,
         map_leaf=0.5, map_half_extent=128.0, map_capacity=262144,
         ndt=NDTParams(max_iterations=12, coarse_iterations=3,
-                      window_dims=(160, 160, 32)),
+                      min_voxel_count=3.0,
+                      window_dims=(192, 192, 32)),
         pyramid_factor=4,
         max_pred_translation=2.0)   # urban 10 Hz steps are ~1.6 m; the
     #                                 indoor 0.7 m clamp would chop the CV
@@ -546,9 +547,9 @@ def bench_multichip(reps=5):
     # Shapes sized so the whole {1,2,4,8} curve finishes in ~2 min on the
     # 2-core driver box (the r3 command never produced a curve at all —
     # VERDICT r3 weak #4): 64-cell grid, 8k-voxel shards, 8k-ray scans.
-    clouds, gt = _outdoor_scans(2, n_azimuth=512, radius=8.0, seed=7,
-                                max_range=30.0)
-    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
+    clouds, gt = _outdoor_scans(2, n_azimuth=256, radius=5.0, seed=7,
+                                max_range=20.0)
+    spec = VoxelGridSpec.centered(leaf=0.5, half_extent=8.0)
     xi = jnp.array([0.15, -0.1, 0.05, 0.02, -0.02, 0.04], jnp.float32)
     T0 = jnp.asarray(gt[0], jnp.float32)
     src = clouds[0].transform(se3.compose(T0, se3.inverse(se3.exp(xi))))
@@ -559,7 +560,7 @@ def bench_multichip(reps=5):
     sizes = [n for n in (1, 2, 4, 8) if n <= n_dev]
     for n in sizes:
         mesh = make_mesh(n)
-        smap = empty_sharded_map(n, 8192)
+        smap = empty_sharded_map(n, 4096)
         for c, T in zip(clouds, gt):
             smap = insert_cloud_sharded(
                 mesh, smap, c.transform(jnp.asarray(T, jnp.float32)), spec,
@@ -575,8 +576,104 @@ def bench_multichip(reps=5):
             res = run()
         jax.block_until_ready(res.T)
         curve[str(n)] = round(reps / (time.perf_counter() - t0), 2)
+        _log(f"config5: {n} devices -> {curve[str(n)]} regs/s")
     _log(f"config5 sharded ndt regs/s by device count: {curve}")
     return {"registrations_per_sec_by_devices": curve}
+
+
+# ---------------------------------------------------------------------------
+# Config 6: offline replay — VLP-16 packets -> pcap -> rosbag -> CLI
+# ---------------------------------------------------------------------------
+
+def bench_bag_replay(n_scans=6):
+    """The reference's replay workflow wall-to-wall, ROS-free: synthesize
+    VLP-16 packets, write a pcap, assemble revolutions, write a rosbag
+    (PointCloud2 + TF ground truth), then ONE command — the run_odometry
+    CLI with --bag — produces a trajectory and its ATE."""
+    import contextlib
+    import io
+    import json as _json
+    import math
+    import tempfile
+
+    import jax.numpy as jnp
+    from tpu_slam.core import se3
+    from tpu_slam.ingest import rosbag as rb
+    from tpu_slam.ingest import synthetic as syn
+    from tpu_slam.ingest import velodyne as vlp
+
+    world = syn.default_office()
+    el = np.radians(vlp.VLP16_ELEVATIONS_DEG)          # (16,)
+    n_az = 720
+    az = np.arange(n_az) * (360.0 / n_az)              # deg, one revolution
+    az_r = np.radians(az)[:, None]
+    dirs = np.stack([np.cos(el)[None, :] * np.cos(az_r),
+                     np.cos(el)[None, :] * np.sin(az_r),
+                     np.broadcast_to(np.sin(el)[None, :], (n_az, 16))],
+                    axis=2)                            # (S, 16, 3)
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="tpu_slam_bag_bench_")
+    all_pkts, pkt_times, gts = [], [], []
+    for k in range(n_scans):
+        a = 2 * math.pi * 0.18 * k / max(n_scans - 1, 1)
+        T = syn.se2_pose(2.5 * math.cos(a), 2.5 * math.sin(a),
+                         a + math.pi / 2, z=1.2)
+        dirs_w = dirs.reshape(-1, 3) @ T[:3, :3].T
+        origins = np.broadcast_to(T[:3, 3], dirs_w.shape)
+        r = world.raycast(origins, dirs_w, 40.0).reshape(n_az, 16)
+        r = np.where(np.isfinite(r), r + rng.normal(0, 0.005, r.shape), 0.0)
+        pkts = vlp.encode_packets(az, r, start_time_s=100.0 + k)
+        all_pkts.append(pkts)
+        pkt_times.append(100.0 + k
+                         + np.arange(pkts.shape[0]) * 1e-3)
+        gts.append(T)
+    pkts = np.concatenate(all_pkts)
+    pcap_path = f"{tmp}/seq.pcap"
+    vlp.write_pcap(pcap_path, pkts, timestamps_s=np.concatenate(pkt_times))
+
+    # pcap -> revolutions -> bag with TF ground truth
+    stream = vlp.VelodyneStream(min_range=0.4, max_range=40.0)
+    revs = []
+    for _ts, payload in vlp.read_pcap(pcap_path):
+        stream.push(np.frombuffer(payload, np.uint8)[None])
+        while (rev := stream.pop()) is not None:
+            revs.append(rev)
+    if (rev := stream.flush()) is not None:
+        revs.append(rev)
+    revs = revs[:len(gts)]
+    bag_path = f"{tmp}/seq.bag"
+    with rb.BagWriter(bag_path) as w:
+        for k, (rev, T) in enumerate(zip(revs, gts)):
+            t = 100.0 + k
+            q = np.asarray(se3.quat_from_matrix(
+                jnp.asarray(T[:3, :3], jnp.float32)))
+            tf = rb.TransformStamped(
+                stamp=t - 0.01, frame_id="odom", child_frame_id="velodyne",
+                translation=T[:3, 3].copy(), rotation=q.astype(np.float64))
+            w.write("/tf", "tf2_msgs/TFMessage",
+                    rb.serialize_tf_message([tf]), t - 0.01)
+            w.write("/velodyne_points", "sensor_msgs/PointCloud2",
+                    rb.serialize_pointcloud2(rev.points, t, "velodyne"), t)
+
+    # ONE command: the CLI replays the bag and reports ATE
+    from tpu_slam.cli.run_odometry import main as run_odo
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run_odo(["--bag", bag_path, "--bag-gt-frame", "odom", "--json",
+                 "--input-capacity", "16384",
+                 "--set", "scan_capacity=8192",
+                 "--set", "downsample_leaf=0.25",
+                 "--set", "map_half_extent=16.0",
+                 "--set", "map_capacity=32768",
+                 "--set", "ndt.max_iterations=15"])
+    rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    _log(f"config6 bag replay: {len(revs)} revolutions from pcap, "
+         f"ate={rec.get('ate_rmse_m', float('nan')):.3f} m, "
+         f"{rec['n_scans']} scans via run_odometry --bag ({bag_path})")
+    return {"n_scans": rec["n_scans"],
+            "ate_m": round(float(rec.get("ate_rmse_m", -1.0)), 4),
+            "rpe_trans_m": round(float(rec.get("rpe_trans_m", -1.0)), 4),
+            "source": "vlp16 packets -> pcap -> rosbag -> run_odometry"}
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +694,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--configs", default="1,2,3,4,5",
+    p.add_argument("--configs", default="1,2,3,4,5,6",
                    help="comma-separated subset to run (headline = 3)")
     args = p.parse_args()
     want = set(args.configs.split(","))
@@ -616,6 +713,8 @@ def main():
         results["4_full_slam"] = bench_full_slam()
     if "5" in want:
         results["5_multichip"] = bench_multichip()
+    if "6" in want:
+        results["6_bag_replay"] = bench_bag_replay()
 
     headline = results.get("3_ndt_register", {}).get(
         "registrations_per_sec", 0.0)

@@ -9,6 +9,9 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
+
 
 def _small_overrides(prefix=""):
     kv = ["scan_capacity=4096", "downsample_leaf=0.3",

@@ -189,6 +189,7 @@ def test_recenter_shift_alignment():
     assert np.all((np.asarray(c0) % 4) == 0)
 
 
+@pytest.mark.slow
 def test_dense_odometry_tracks_trajectory():
     """End-to-end: the dense engine tracks a synthetic office loop."""
     import math

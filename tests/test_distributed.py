@@ -130,6 +130,7 @@ def test_sharded_map_matches_single_map_stats():
             np.asarray(slab_owner(jnp.asarray(k), spec, 8)), d)
 
 
+@pytest.mark.slow
 def test_sharded_ndt_register_recovers_transform():
     mesh = _mesh()
     spec = VoxelGridSpec.centered(leaf=0.5, half_extent=16.0)
@@ -171,6 +172,7 @@ def _ndt_parity_case(half_extent, window_bits, n_azimuth=360):
     return mesh, spec, single, smap, src, params, xi_true
 
 
+@pytest.mark.slow
 def test_sharded_windowed_ndt_matches_single_chip():
     """Halo'd window tier: sharded == single-chip fast tier to float tol.
 
@@ -197,6 +199,7 @@ def test_sharded_windowed_ndt_matches_single_chip():
     assert float(jnp.linalg.norm(err[3:])) < 0.03
 
 
+@pytest.mark.slow
 def test_sharded_windowed_ndt_subgrid_window():
     """Window smaller than the grid: the scan-centered window follows
     ``center`` and sharded still matches single-chip."""
@@ -214,6 +217,7 @@ def test_sharded_windowed_ndt_subgrid_window():
                - float(res1.matched_fraction)) < 1e-5
 
 
+@pytest.mark.slow
 def test_sharded_ndt_fallback_path_still_works():
     """With packing off (pack_any_backend=False on CPU) the pre-window
     eigh fallback still recovers the transform."""
@@ -333,6 +337,7 @@ def test_heartbeat_recovery_path(tmp_path):
                                np.asarray(state.odom.pose), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_tier_matches_single_chip_kernel():
     """Pallas raster tier (interpret): sharded == single-chip kernel path.
 

@@ -10,6 +10,7 @@ from tpu_slam.kernels.icp_terms import (icp_terms_raster,
                                         icp_terms_raster_reference)
 from tpu_slam.kernels.ndt_terms import build_terms_raster
 from tpu_slam.registration.icp import ICPParams, icp, icp_raster
+import pytest
 
 DIMS = (16, 16, 8)
 LEAF = 0.5
@@ -47,6 +48,7 @@ def test_icp_terms_kernel_matches_reference():
     assert float(got[3]) > 0.5 * float(jnp.sum(src.mask))
 
 
+@pytest.mark.slow
 def test_icp_raster_recovers_transform_like_brute():
     tgt = _clouds()
     xi = jnp.array([0.12, -0.08, 0.04, 0.02, -0.02, 0.03], jnp.float32)

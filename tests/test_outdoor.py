@@ -19,6 +19,9 @@ from tpu_slam.pipeline.config import OdometryConfig
 from tpu_slam.pipeline.odometry import LidarOdometry
 from tpu_slam.registration.ndt import NDTParams
 
+pytestmark = pytest.mark.slow
+
+
 
 def _city_world():
     world = syn.outdoor_block(seed=1)

@@ -16,6 +16,7 @@ from tpu_slam.pipeline.odometry import LidarOdometry
 from tpu_slam.pipeline.slam import SLAMSystem
 from tpu_slam.registration.icp import ICPParams
 from tpu_slam.registration.ndt import NDTParams
+import pytest
 
 
 ODOM_CFG = OdometryConfig(
@@ -95,6 +96,7 @@ def _slam_cfg(**kw):
     )
 
 
+@pytest.mark.slow
 def test_slam_full_loop():
     clouds, gt = _sequence(n_poses=40, radius=2.5, n_azimuth=240,
                            arc_fraction=1.0)
@@ -146,6 +148,7 @@ def test_metrics_ate_alignment():
     assert ate_rmse(est, gt, align=False) > 1.0
 
 
+@pytest.mark.slow
 def test_slam_sliding_window_eviction():
     """Keyframe capacity fills mid-run: the fixed-lag window evicts instead
     of raising (round-1 weak #6) and the run stays sane."""
@@ -166,6 +169,7 @@ def test_slam_sliding_window_eviction():
     assert ate < 0.3, ate
 
 
+@pytest.mark.slow
 def test_slam_survives_wrong_loop():
     """Regression (round-1 weak #8): with the default robust graph config a
     wrong accepted closure must not fold the trajectory."""

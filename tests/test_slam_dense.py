@@ -15,6 +15,11 @@ from tpu_slam.pipeline.slam import SLAMSystem
 from tpu_slam.registration.icp import ICPParams
 from tpu_slam.registration.ndt import NDTParams
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def _sequence(n_poses, radius=2.5, n_azimuth=240, seed=0, arc_fraction=1.0):
     world = syn.default_office()
