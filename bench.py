@@ -143,24 +143,42 @@ def _city_scans(n_poses, n_azimuth=4096, step=1.6, max_range=75.0, seed=0,
 # ---------------------------------------------------------------------------
 
 def bench_icp_pair(reps=20):
+    """Pair ICP at 8192 points, two tiers: the fused raster kernel
+    (kernels.icp_terms — correspondence + Huber GN reduction in one Pallas
+    pass, no per-point gathers) and the brute-force O(N^2) reference."""
     import jax
     import jax.numpy as jnp
     from tpu_slam.core import se3
     from tpu_slam.core.pointcloud import PointCloud
     from tpu_slam.ingest import synthetic as syn
-    from tpu_slam.registration.icp import ICPParams, icp
+    from tpu_slam.registration.icp import ICPParams, icp, icp_raster
 
     world = syn.default_office()
     T0 = np.eye(4); T0[:3, 3] = [0, 0, 1.5]
     pts, valid = syn.simulate_vlp16_revolution(world, T0, n_azimuth=512)
-    tgt = PointCloud.from_points(jnp.asarray(pts[valid]), capacity=8192)
+    tgt = PointCloud.from_points_host(pts[valid], capacity=8192)
     xi = jnp.array([0.15, -0.1, 0.05, 0.02, -0.02, 0.04], jnp.float32)
     src = tgt.transform(se3.inverse(se3.exp(xi)))
     params = ICPParams(max_iterations=30, max_corr_dist=1.5)
     from tpu_slam.utils.devtime import slope_time
 
+    dims, leaf = (32, 32, 16), 0.5
+    origin = jnp.asarray([-8.0, -8.0, -4.0], jnp.float32)
+
     @jax.jit
-    def loop(K):
+    def loop_raster(K):
+        def body(i, carry):
+            Tc, acc = carry
+            Ti = Tc.at[0, 3].add(jnp.sin(i.astype(jnp.float32)) * 0.05)
+            r = icp_raster(src, tgt, init_T=Ti, params=params, dims=dims,
+                           leaf=leaf, origin_world=origin)
+            return (r.T, acc + r.error)
+        Tf, acc = jax.lax.fori_loop(
+            0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.float32(0)))
+        return Tf[0, 3] + acc
+
+    @jax.jit
+    def loop_brute(K):
         def body(i, carry):
             Tc, acc = carry
             Ti = Tc.at[0, 3].add(jnp.sin(i.astype(jnp.float32)) * 0.05)
@@ -170,13 +188,24 @@ def bench_icp_pair(reps=20):
             0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.float32(0)))
         return Tf[0, 3] + acc
 
-    dt = slope_time(loop, 3, 23)
-    res = icp(src, tgt, params=params)
-    iters = int(res.iterations)
-    _log(f"config1 icp: {1/dt:.1f} regs/s, {iters} iters, "
-         f"{iters/dt:.0f} iters/s, err={float(res.error):.2e}")
-    return {"registrations_per_sec": round(1 / dt, 2),
-            "iters_per_sec": round(iters / dt, 1),
+    dt_r = slope_time(loop_raster, 5, 55)
+    dt_b = slope_time(loop_brute, 3, 23)
+    res_r = icp_raster(src, tgt, params=params, dims=dims, leaf=leaf,
+                       origin_world=origin)
+    res_b = icp(src, tgt, params=params)
+    err_r = float(jnp.linalg.norm(se3.log(
+        se3.compose(se3.inverse(se3.exp(xi)), res_r.T))))
+    err_b = float(jnp.linalg.norm(se3.log(
+        se3.compose(se3.inverse(se3.exp(xi)), res_b.T))))
+    iters = int(res_r.iterations)
+    _log(f"config1 icp: raster kernel {1/dt_r:.0f} regs/s "
+         f"(recovery err {err_r*1e3:.1f} mm, {iters} iters), "
+         f"brute {1/dt_b:.1f} regs/s (err {err_b*1e3:.1f} mm)")
+    return {"registrations_per_sec": round(1 / dt_r, 2),
+            "iters_per_sec": round(iters / dt_r, 1),
+            "recovery_err_mm": round(err_r * 1e3, 2),
+            "brute_registrations_per_sec": round(1 / dt_b, 2),
+            "brute_recovery_err_mm": round(err_b * 1e3, 2),
             "points": int(tgt.capacity)}
 
 
@@ -202,8 +231,9 @@ def bench_odometry(n_poses=24):
     cfg = OdometryConfig(
         scan_capacity=32768, downsample_leaf=0.3,
         map_leaf=0.5, map_half_extent=128.0, map_capacity=262144,
-        ndt=NDTParams(max_iterations=12, coarse_iterations=3,
-                      min_voxel_count=3.0,
+        scan_max_range=45.0, insert_downsampled=True,
+        ndt=NDTParams(max_iterations=10, coarse_iterations=2,
+                      tolerance=3e-4, min_voxel_count=3.0,
                       window_dims=(192, 192, 32)),
         pyramid_factor=4,
         max_pred_translation=2.0)   # urban 10 Hz steps are ~1.6 m; the

@@ -28,9 +28,11 @@ print(f"scan gen: {time.perf_counter()-t0:.1f}s", flush=True)
 cfg = OdometryConfig(
     scan_capacity=32768, downsample_leaf=0.3,
     map_leaf=0.5, map_half_extent=128.0, map_capacity=262144,
-    ndt=NDTParams(max_iterations=12, coarse_iterations=2,
-                  window_dims=(160, 160, 32)),
-    pyramid_factor=4)
+    scan_max_range=45.0, insert_downsampled=True,
+    ndt=NDTParams(max_iterations=10, coarse_iterations=2,
+                  tolerance=3e-4, min_voxel_count=3.0,
+                  window_dims=(192, 192, 32)),
+    pyramid_factor=4, max_pred_translation=2.0)
 odo = DenseLidarOdometry(cfg)
 st = odo.init_state(clouds[0], jnp.asarray(gt[0], jnp.float32))
 jax.block_until_ready(st.grid.rows)

@@ -25,6 +25,20 @@ class OdometryConfig:
     # Input handling
     scan_capacity: int = 32768          # padded size of downsampled scans
     downsample_leaf: float = 0.2        # scan voxel-downsample leaf (m)
+    scan_max_range: float = 0.0         # horizontal range gate on the
+                                        # REGISTRATION input (0 = off): the
+                                        # dense window cannot match points
+                                        # beyond its extent, so feeding them
+                                        # to the solver only depresses the
+                                        # matched fraction; standard LiDAR-
+                                        # odometry preprocessing (raw scans
+                                        # keep every ray)
+    insert_downsampled: bool = False    # dense engine: integrate the
+                                        # downsampled scan instead of the
+                                        # raw cloud (ds insert 2.9 ms vs
+                                        # raw 12.4 ms on v5e; 27-cell
+                                        # neighborhood aggregation keeps
+                                        # the Gaussians well-supported)
 
     # Map
     map_leaf: float = 0.5               # map voxel leaf (m)

@@ -152,6 +152,12 @@ class DenseLidarOdometry:
                                  T_end=jnp.eye(4, dtype=jnp.float32))
         scan = voxel_downsample(cloud, self.scan_spec,
                                 capacity=cfg.scan_capacity)
+        if cfg.scan_max_range > 0:
+            rng2 = jnp.sum(scan.points[:, :2] ** 2, axis=1)
+            scan = PointCloud(
+                points=scan.points,
+                mask=scan.mask & (rng2 < cfg.scan_max_range ** 2),
+                attrs=scan.attrs).sanitize()
         init_T = state.pose @ pred
 
         # scroll the window when the predicted pose leaves its core
@@ -185,7 +191,8 @@ class DenseLidarOdometry:
 
         do_insert = accepted & (res.matched_fraction
                                 >= cfg.min_insert_fraction)
-        grid = grid_insert(grid, cloud.transform(T), self.map_spec,
+        src_map = scan if cfg.insert_downsampled else cloud
+        grid = grid_insert(grid, src_map.transform(T), self.map_spec,
                            weight=do_insert.astype(jnp.float32))
 
         metrics = jnp.stack([
