@@ -162,16 +162,26 @@ def bench_icp_pair(reps=20):
     params = ICPParams(max_iterations=30, max_corr_dist=1.5)
     from tpu_slam.utils.devtime import slope_time
 
-    dims, leaf = (32, 32, 16), 0.5
-    origin = jnp.asarray([-8.0, -8.0, -4.0], jnp.float32)
+    # kernel cost is per-x-plane; lanes want Wy*Wz/8 large — so world z
+    # (the thin axis) rides kernel x (axis_perm), and a coarse leaf-1.0
+    # stage absorbs the init before a short fine leaf-0.5 polish
+    perm = (2, 0, 1)
+    origin_p = jnp.asarray([-4.0, -8.0, -8.0], jnp.float32)  # (z, x, y)
+    cparams = dataclasses.replace(params, max_iterations=8, tolerance=1e-3)
+    fparams1 = dataclasses.replace(params, max_iterations=8,
+                                   tolerance=5e-4)
 
     @jax.jit
     def loop_raster(K):
         def body(i, carry):
             Tc, acc = carry
             Ti = Tc.at[0, 3].add(jnp.sin(i.astype(jnp.float32)) * 0.05)
-            r = icp_raster(src, tgt, init_T=Ti, params=params, dims=dims,
-                           leaf=leaf, origin_world=origin)
+            r0 = icp_raster(src, tgt, init_T=Ti, params=cparams,
+                            dims=(8, 16, 16), leaf=1.0,
+                            origin_world=origin_p, axis_perm=perm)
+            r = icp_raster(src, tgt, init_T=r0.T, params=fparams1,
+                           dims=(16, 32, 32), leaf=0.5,
+                           origin_world=origin_p, axis_perm=perm)
             return (r.T, acc + r.error)
         Tf, acc = jax.lax.fori_loop(
             0, K, body, (jnp.eye(4, dtype=jnp.float32), jnp.float32(0)))
@@ -190,8 +200,11 @@ def bench_icp_pair(reps=20):
 
     dt_r = slope_time(loop_raster, 5, 55)
     dt_b = slope_time(loop_brute, 3, 23)
-    res_r = icp_raster(src, tgt, params=params, dims=dims, leaf=leaf,
-                       origin_world=origin)
+    r0 = icp_raster(src, tgt, params=cparams, dims=(8, 16, 16), leaf=1.0,
+                    origin_world=origin_p, axis_perm=perm)
+    res_r = icp_raster(src, tgt, init_T=r0.T, params=fparams1,
+                       dims=(16, 32, 32), leaf=0.5,
+                       origin_world=origin_p, axis_perm=perm)
     res_b = icp(src, tgt, params=params)
     err_r = float(jnp.linalg.norm(se3.log(
         se3.compose(se3.inverse(se3.exp(xi)), res_r.T))))
@@ -329,6 +342,10 @@ def bench_ndt_register():
     # ---- the production registration step: coarse pyramid + fine window --
     fine_dims = (160, 160, 32)          # +-40 x +-40 x +-8 m at 0.5 m
     fparams = NDTParams(max_iterations=8, coarse_iterations=0,
+                        tolerance=3e-4, min_voxel_count=3.0,
+                        rebin_iters=8,      # one bin for the whole fine
+                        #                     stage: the coarse level hands
+                        #                     over sub-cell inits
                         window_dims=fine_dims)
     cparams = NDTParams(max_iterations=6, coarse_iterations=2,
                         max_corr_dist=4.0, window_dims=(64, 64, 16))
@@ -433,8 +450,30 @@ def bench_ndt_register():
 
     wcloud = cloud.transform(Tw)
 
+    # production odometry insert: the dense moment window (grid_insert);
+    # the sparse sorted-map merge remains as the ARCHIVE path and is
+    # reported separately
+    from tpu_slam.mapping.dense_map import (DenseMomentGrid,
+                                            centered_origin_cell,
+                                            empty_grid, grid_insert)
+    g_c0 = np.array(centered_origin_cell(Tw[:3, 3], map_spec, dims, align=4))
+    grid0 = jax.block_until_ready(grid_insert(
+        empty_grid(dims, jnp.asarray(g_c0)), wcloud, map_spec))
+
     @jax.jit
-    def insert_loop(K, vm):
+    def dense_ins_loop(K, rows):
+        def body(i, rows):
+            g = DenseMomentGrid(rows=rows,
+                                origin_cell=jnp.asarray(g_c0), dims=dims)
+            c2 = PointCloud(points=wcloud.points
+                            + i.astype(jnp.float32) * 1e-6,
+                            mask=wcloud.mask)
+            return grid_insert(g, c2, map_spec).rows
+        return jax.lax.fori_loop(0, K, body, rows)[0, 0]
+    t_ins = slope_time(lambda K: dense_ins_loop(K, grid0.rows), 2, 12)
+
+    @jax.jit
+    def archive_loop(K, vm):
         def body(i, vm):
             c2 = PointCloud(
                 points=wcloud.points
@@ -442,7 +481,7 @@ def bench_ndt_register():
             return insert_cloud(vm, c2, map_spec,
                                 i.astype(jnp.float32))
         return jax.lax.fori_loop(0, K, body, vm).count[0]
-    t_ins = slope_time(lambda K: insert_loop(K, vmap), 2, 12)
+    t_arch = slope_time(lambda K: archive_loop(K, vmap), 2, 12)
 
     # ---- roofline (docs/roofline.md): the terms pass is the hot kernel --
     wx, wy, wz = dims
@@ -462,7 +501,7 @@ def bench_ndt_register():
          f"({1/t_reg:.0f}/s), terms={t_terms*1e3:.3f} ms "
          f"({pct_sol:.0f}% of binding SoL, {pct_hbm:.0f}% of HBM floor), "
          f"raster={t_raster*1e3:.2f} ms, field={t_field*1e3:.1f} ms, "
-         f"insert={t_ins*1e3:.1f} ms")
+         f"insert={t_ins*1e3:.1f} ms (archive merge {t_arch*1e3:.1f} ms)")
     return {"registrations_per_sec": round(1 / t_reg, 2),
             "map_voxels": n_vox,
             "scan_points": n_scan,
@@ -475,6 +514,7 @@ def bench_ndt_register():
             "stage_terms_pass_ms": round(t_terms * 1e3, 3),
             "stage_raster_build_ms": round(t_raster * 1e3, 3),
             "stage_map_insert_ms": round(t_ins * 1e3, 2),
+            "stage_archive_merge_ms": round(t_arch * 1e3, 2),
             "terms_bytes_moved": int(bytes_moved),
             "terms_pct_speed_of_light": round(pct_sol, 1),
             "terms_pct_hbm_speed_of_light": round(pct_hbm, 1)}
@@ -526,7 +566,13 @@ def bench_full_slam(n_poses=160):
         keyframe_capacity=192,
         keyframe_cloud_capacity=4096, loop_every=4,
         loop=LoopClosureParams(
-            max_distance=1.5, min_index_gap=12, max_candidates=4,
+            max_distance=2.0, min_index_gap=12, max_candidates=4,
+            # acceptance gate calibrated to the keyframe cloud resolution:
+            # two 0.25 m-downsampled clouds of the same surface match with
+            # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
+            # gate rejected every true revisit (r4 diag: frac 0.73-0.92,
+            # err 0.09-0.2, all rejected)
+            max_error=0.25,
             icp=ICPParams(max_iterations=25, max_corr_dist=1.0,
                           huber_delta=0.3)),
         edge_capacity=1024)

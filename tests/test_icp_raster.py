@@ -69,3 +69,25 @@ def test_icp_raster_recovers_transform_like_brute():
     assert err_r < 0.06, f"raster ICP off by {err_r}"
     assert err_r < max(1.2 * err_b, 0.01), (err_r, err_b)
     assert float(res_r.matched_fraction) > 0.6
+
+
+def test_icp_raster_axis_perm_matches_unpermuted():
+    tgt = _clouds()
+    xi = jnp.array([0.1, -0.06, 0.03, 0.015, -0.01, 0.02], jnp.float32)
+    src = tgt.transform(se3.inverse(se3.exp(xi)))
+    params = ICPParams(max_iterations=20, max_corr_dist=1.0,
+                       huber_delta=0.4)
+    res_a = icp_raster(src, tgt, params=params, dims=DIMS, leaf=LEAF,
+                       origin_world=jnp.asarray([-4.0, -4.0, -2.0],
+                                                jnp.float32),
+                       interpret=True)
+    # permuted: world z on kernel x -> dims (8, 16, 16), origin (z, x, y)
+    res_p = icp_raster(src, tgt, params=params, dims=(8, 16, 16), leaf=LEAF,
+                       origin_world=jnp.asarray([-2.0, -4.0, -4.0],
+                                                jnp.float32),
+                       interpret=True, axis_perm=(2, 0, 1))
+    np.testing.assert_allclose(np.asarray(res_p.T), np.asarray(res_a.T),
+                               atol=5e-3)
+    err = float(jnp.linalg.norm(se3.log(
+        se3.compose(se3.inverse(se3.exp(xi)), res_p.T))))
+    assert err < 0.06, err

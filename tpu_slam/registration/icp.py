@@ -142,14 +142,15 @@ def icp(source: PointCloud, target: PointCloud,
 
 @functools.partial(jax.jit,
                    static_argnames=("params", "dims", "leaf", "qs", "qt",
-                                    "interpret"))
+                                    "interpret", "axis_perm"))
 def icp_raster(source: PointCloud, target: PointCloud,
                init_T: Optional[jax.Array] = None,
                params: ICPParams = ICPParams(),
                dims: tuple = (32, 32, 16), leaf: float = 0.5,
                qs: int = 8, qt: int = 8,
                origin_world: Optional[jax.Array] = None,
-               interpret: bool = False) -> ICPResult:
+               interpret: bool = False,
+               axis_perm: Optional[tuple] = None) -> ICPResult:
     """Pair ICP on the fused Pallas raster kernel (kernels.icp_terms).
 
     Both clouds are binned once into the dense cell raster (target in
@@ -172,6 +173,24 @@ def icp_raster(source: PointCloud, target: PointCloud,
         init_T = jnp.eye(4, dtype=source.points.dtype)
     src = source.sanitize()
     tgt = target.sanitize()
+
+    # Optional axis permutation: the kernel's cost is per-x-plane (grid
+    # step) while its throughput is per-lane (Wy*Wz/8), so small problems
+    # should map their THINNEST world axis onto kernel-x. axis_perm
+    # (e.g. (2, 0, 1) = world z on kernel x) is a proper rotation, so the
+    # solve runs in permuted coordinates and the result is conjugated
+    # back. ``dims``/``origin_world`` are in PERMUTED space.
+    Pi = None
+    if axis_perm is not None:
+        Pm = jnp.zeros((4, 4), jnp.float32)
+        for row, col in enumerate(axis_perm):
+            Pm = Pm.at[row, col].set(1.0)
+        Pm = Pm.at[3, 3].set(1.0)
+        Pi = Pm
+        perm = list(axis_perm)
+        src = PointCloud(points=src.points[:, perm], mask=src.mask)
+        tgt = PointCloud(points=tgt.points[:, perm], mask=tgt.mask)
+        init_T = Pi @ init_T @ Pi.T
     n_valid = jnp.maximum(jnp.sum(src.mask.astype(jnp.float32)), 1.0)
 
     if origin_world is None:
@@ -222,6 +241,8 @@ def icp_raster(source: PointCloud, target: PointCloud,
     half = max(1, params.max_iterations // 2)
     T_m, it_m, _, _, _ = solve_stage(init_T, half, jnp.int32(0))
     T, iters, dx, err, frac = solve_stage(T_m, params.max_iterations, it_m)
+    if Pi is not None:
+        T = Pi.T @ T @ Pi
     return ICPResult(T=T, iterations=iters, error=err,
                      matched_fraction=frac,
                      converged=dx <= params.tolerance)
