@@ -66,16 +66,18 @@ cfg = SLAMConfig(
     odometry=OdometryConfig(scan_capacity=8192, downsample_leaf=0.25,
                             map_leaf=0.5, map_half_extent=16.0,
                             map_capacity=32768,
+                            insert_downsampled=True,
                             ndt=NDTParams(max_iterations=12,
                                           coarse_iterations=2,
+                                          min_voxel_count=3.0,
                                           window_dims=(48, 48, 16)),
                             pyramid_factor=2),
     odometry_engine="dense",
     keyframe_translation=0.22, keyframe_rotation=0.12,
     keyframe_capacity=192,
-    keyframe_cloud_capacity=4096, loop_every=4,
+    keyframe_cloud_capacity=8192, loop_every=4,
     loop=LoopClosureParams(
-        max_distance=2.0, min_index_gap=12, max_candidates=4,
+        max_distance=2.0, min_index_gap=16, max_candidates=4,
         # acceptance gate calibrated to the keyframe cloud resolution:
         # two 0.25 m-downsampled clouds of the same surface match with
         # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
@@ -86,7 +88,18 @@ cfg = SLAMConfig(
                       huber_delta=0.3)),
     edge_capacity=1024,
     rebuild_map_after_loop=('--no-rebuild' not in sys.argv))
-slam = SLAMSystem(cfg)
+class LoggedSLAM(SLAMSystem):
+    def _close_loops(self, state):
+        pre = np.asarray(state.odom.pose)
+        out, n = super()._close_loops(state)
+        if n:
+            post = np.asarray(out.odom.pose)
+            d = np.linalg.norm(post[:3, 3] - pre[:3, 3])
+            print(f"  LOOP x{n}: pose correction {d:.3f} m", flush=True)
+        return out, n
+
+
+slam = LoggedSLAM(cfg)
 st = slam.init_state(jnp.asarray(gt[0], jnp.float32))
 poses = []
 for k, c in enumerate(clouds):
@@ -94,11 +107,10 @@ for k, c in enumerate(clouds):
     p = np.asarray(st.odom.pose)
     poses.append(p)
     err = p[:3, 3] - gt[k][:3, 3]
-    if k % 8 == 0 or m.n_loop_closures:
-        print(f"scan {k:3d}: err={np.linalg.norm(err):6.3f} "
-              f"({err[0]:+6.3f} {err[1]:+6.3f} {err[2]:+6.3f}) "
-              f"frac={m.matched_fraction:.3f} kf={st.n_keyframes} "
-              f"loops={st.n_loop_closures}", flush=True)
+    print(f"scan {k:3d}: err={np.linalg.norm(err):6.3f} "
+          f"({err[0]:+6.3f} {err[1]:+6.3f} {err[2]:+6.3f}) "
+          f"frac={m.matched_fraction:.3f} it={m.iterations:3d} "
+          f"kf={st.n_keyframes} loops={st.n_loop_closures}", flush=True)
 ate = ate_rmse(np.stack(poses), gt, align=False)
 print(f"ATE={ate:.3f} m, kf={st.n_keyframes}, loops={st.n_loop_closures}",
       flush=True)

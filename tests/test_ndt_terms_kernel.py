@@ -11,11 +11,10 @@ import jax.numpy as jnp
 import pytest
 
 from tpu_slam.kernels.ndt_terms import (build_terms_raster, ndt_terms_raster,
-
-pytestmark = pytest.mark.slow
-
                                         ndt_terms_raster_reference,
                                         raster_to_slots, rows_to_planes)
+
+pytestmark = pytest.mark.slow
 
 DIMS = (8, 8, 16)          # Wy*Wz = 128 = one lane tile
 Q = 2

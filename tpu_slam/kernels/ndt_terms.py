@@ -125,30 +125,26 @@ def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
         rank = rank + (prev == sc).astype(jnp.int32)
     keep = (sc < g) & (rank < q_cap)
 
-    # kernel-layout target: plane x, channel row c*Q + rank, sublane z%8,
-    # lane y*Wz8 + z//8 — four scalar scatters, one per coordinate channel
-    wyz = wy * wz
-    scx = sc // wyz
-    rem = sc - scx * wyz
-    scy = rem // wz
-    scz = rem - scy * wz
-    s8 = jax.lax.rem(scz, 8)
-    lane = scy * wz8 + scz // 8
-    total = wx * (4 * q_cap) * 8 * l8
-    # dropped points scatter to index ``total`` — OUT of bounds for the
-    # (total,) array, so mode="drop" really drops them and the
-    # unique_indices=True hint is honest (an in-bounds shared sentinel would
-    # be duplicate indices, undefined under that hint)
-    flat = jnp.zeros((total,), jnp.float32)
-    vals = (sp[:, 0], sp[:, 1], sp[:, 2],
-            jnp.ones((n,), jnp.float32))
-    for c in range(4):
-        row = c * q_cap + rank
-        tgt = ((scx * (4 * q_cap) + row) * 8 + s8) * l8 + lane
-        tgt = jnp.where(keep, tgt, total)
-        flat = flat.at[tgt].set(jnp.where(keep, vals[c], 0.0), mode="drop",
-                                unique_indices=True)
-    raster = flat.reshape(wx, 4 * q_cap, 8, l8)
+    # ONE row scatter into a compact (G*Q, 4) slot table, then a dense
+    # transpose into the kernel layout (plane x, channel row c*Q + rank,
+    # sublane z%8, lane y*Wz8 + z//8).  The first version did four scalar
+    # scatters (one per channel) — 4x the per-index scatter cost, measured
+    # 0.5-4 ms per build; the row scatter pays each index once and the
+    # transpose is a cheap dense reshuffle.  Dropped points scatter to
+    # index ``total`` — OUT of bounds for the table, so mode="drop" really
+    # drops them and the unique_indices=True hint is honest (an in-bounds
+    # shared sentinel would be duplicate indices, undefined under it).
+    total = g * q_cap
+    slot = jnp.where(keep, sc * q_cap + rank, total)
+    rows = jnp.concatenate(
+        [jnp.where(keep[:, None], sp, 0.0),
+         keep[:, None].astype(jnp.float32)], axis=1)          # (n, 4)
+    table = jnp.zeros((total, 4), jnp.float32).at[slot].set(
+        rows, mode="drop", unique_indices=True)
+    # (x, y, z8, s8, q, c) -> (x, c, q, s8, y, z8)
+    t6 = table.reshape(wx, wy, wz8, 8, q_cap, 4)
+    raster = jnp.transpose(t6, (0, 5, 4, 3, 1, 2)).reshape(
+        wx, 4 * q_cap, 8, l8)
     n_dropped = (jnp.sum(mask.astype(jnp.int32))
                  - jnp.sum(keep.astype(jnp.int32)))
     return raster, n_dropped

@@ -148,3 +148,13 @@ class SLAMConfig:
                                         # odometry chain before the robust
                                         # kernel cuts it
     rebuild_map_after_loop: bool = True
+    reanchor_after_loop: bool = True    # False = loosely-coupled SLAM: the
+                                        # pose graph maintains the optimized
+                                        # trajectory while odometry free-runs
+                                        # (its window is never rebuilt; the
+                                        # optimized estimate is read from
+                                        # graph.poses). Decouples the map-
+                                        # rebuild feedback loop — a rebuilt
+                                        # window momentarily changes the
+                                        # registration landscape and can
+                                        # cost a one-scan misregistration

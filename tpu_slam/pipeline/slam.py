@@ -279,6 +279,14 @@ class SLAMSystem:
                              * jnp.eye(6, dtype=jnp.float32))
         graph, _ = optimize_pose_graph(graph, cfg.graph)
 
+        if not cfg.reanchor_after_loop:
+            # loosely coupled: the optimized trajectory lives in the graph;
+            # odometry (and its window) is left untouched
+            state = dataclasses.replace(
+                state, graph=graph,
+                n_loop_closures=state.n_loop_closures + len(accepted))
+            return state, len(accepted)
+
         # re-anchor odometry at the optimized latest keyframe:
         # current pose = optimized_kf_pose @ (old_kf_pose^-1 @ current)
         old_kf = state.last_kf_pose
