@@ -529,6 +529,7 @@ def bench_full_slam(n_poses=160):
     loop (revisits close loops on the second lap), >=100 keyframes."""
     import math
 
+    import jax
     import jax.numpy as jnp
     from tpu_slam.core.pointcloud import PointCloud
     from tpu_slam.graph.loop_closure import LoopClosureParams
@@ -568,9 +569,9 @@ def bench_full_slam(n_poses=160):
         # odometry free-runs (re-anchor + window rebuild measured a
         # one-scan ~1 m misregistration two scans after each correction)
         reanchor_after_loop=False, rebuild_map_after_loop=False,
-        keyframe_translation=0.22, keyframe_rotation=0.12,
+        keyframe_translation=0.19, keyframe_rotation=0.12,
         keyframe_capacity=192,
-        keyframe_cloud_capacity=8192, loop_every=4,
+        keyframe_cloud_capacity=4096, loop_every=4,
         loop=LoopClosureParams(
             max_distance=2.0, min_index_gap=16, max_candidates=4,
             # acceptance gate calibrated to the keyframe cloud resolution:
@@ -578,9 +579,10 @@ def bench_full_slam(n_poses=160):
             # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
             # gate rejected every true revisit (r4 diag: frac 0.73-0.92,
             # err 0.09-0.2, all rejected)
-            max_error=0.25,
-            icp=ICPParams(max_iterations=25, max_corr_dist=1.0,
-                          huber_delta=0.3)),
+            max_error=0.12, min_matched_fraction=0.75,
+            max_correction_t=1.2, max_correction_r=0.4,
+            icp=ICPParams(max_iterations=30, tolerance=5e-4,
+                          max_corr_dist=1.0, huber_delta=0.3)),
         edge_capacity=1024)
 
     def run_tracked(slam):
@@ -601,10 +603,15 @@ def bench_full_slam(n_poses=160):
 
     t0 = time.perf_counter()
     poses, state, kf_scan = run_tracked(slam)
+    # final batch refinement: keyframes appended after the last accepted
+    # loop have never been optimized (loosely-coupled mode)
+    from tpu_slam.graph.pose_graph import optimize_pose_graph
+    graph, _ = optimize_pose_graph(state.graph, cfg.graph)
+    jax.block_until_ready(graph.poses)
     dt = time.perf_counter() - t0
     odom_ate = ate_rmse(poses, gt, align=False)
     n = state.n_keyframes
-    kf_poses = np.asarray(state.graph.poses[:n])
+    kf_poses = np.asarray(graph.poses[:n])
     kf_ate = ate_rmse(kf_poses, gt[kf_scan[:n]], align=False)
     _log(f"config4 slam: {n_poses/dt:.1f} scans/s, "
          f"optimized-kf ate={kf_ate:.3f} m ({n} kf), "

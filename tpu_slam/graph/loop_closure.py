@@ -31,6 +31,12 @@ class LoopClosureParams:
     max_candidates: int = 16         # per detection sweep (static batch)
     min_matched_fraction: float = 0.5
     max_error: float = 0.05          # mean squared residual acceptance gate
+    max_correction_t: float = 1e9    # consistency gate: reject constraints
+    max_correction_r: float = 1e9    # deviating from the current estimate
+                                     # by more than this (m / rad) — a
+                                     # verified-looking alias (symmetric
+                                     # structure) shows up as a huge
+                                     # correction
     icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0,
                                huber_delta=0.3)
     # appearance channel (graph/scan_context.py): candidates the proximity
@@ -98,6 +104,19 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
                    init_T=T0, params=params.icp)
 
     res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, init)
+    # gate on solution QUALITY (match fraction + residual) and on
+    # CONSISTENCY with the current estimate, not on the step-norm
+    # convergence flag: long-gap revisit pairs routinely hit the iteration
+    # cap with a low-error, high-overlap alignment — exactly the
+    # constraints worth keeping (r4: every lap-revisit loop was rejected
+    # by `converged` while trivial short-gap pairs sailed through);
+    # conversely an unconverged mediocre alignment admitted as a
+    # constraint out-votes the odometry chain when there are many
+    dev = jax.vmap(lambda Z, T0: se3.log(se3.inverse(Z) @ T0))(res.T, init)
+    dev_t = jnp.linalg.norm(dev[:, :3], axis=1)
+    dev_r = jnp.linalg.norm(dev[:, 3:], axis=1)
     accept = ((res.matched_fraction >= params.min_matched_fraction)
-              & (res.error <= params.max_error) & res.converged)
+              & (res.error <= params.max_error)
+              & (dev_t <= params.max_correction_t)
+              & (dev_r <= params.max_correction_r))
     return res, accept

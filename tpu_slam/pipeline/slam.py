@@ -43,6 +43,8 @@ class SLAMState:
     kf_desc: jax.Array         # (K, R, S) scan-context descriptors
     n_keyframes: int
     last_kf_pose: jax.Array    # (4, 4) pose of the newest keyframe
+    last_kf_pose_np: object = None   # host mirror (avoids a device sync
+                                     # per keyframe test)
     n_loop_closures: int = 0
     # poses of keyframes evicted by the fixed-lag sliding window, in
     # trajectory order (host list of (4, 4) arrays); full trajectory =
@@ -50,6 +52,11 @@ class SLAMState:
     archived_poses: List[np.ndarray] = dataclasses.field(
         default_factory=list)
     n_evictions: int = 0
+    # (i, j) pairs already admitted as loop edges: each detection sweep
+    # re-proposes the nearest pairs, and without this set the SAME edge is
+    # re-verified and re-added every sweep — duplicate weight on a few
+    # constraints instead of coverage along the trajectory
+    loop_pairs: set = dataclasses.field(default_factory=set)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "capacity"))
@@ -137,12 +144,20 @@ class SLAMSystem:
 
     # -- keyframe policy --------------------------------------------------
 
-    def _is_keyframe(self, state: SLAMState) -> bool:
+    def _is_keyframe(self, state: SLAMState,
+                     pose_np: Optional[np.ndarray] = None) -> bool:
         if state.n_keyframes == 0:
             return True
-        xi = se3.log(se3.inverse(state.last_kf_pose) @ state.odom.pose)
-        t = float(jnp.linalg.norm(xi[:3]))
-        r = float(jnp.linalg.norm(xi[3:]))
+        if pose_np is not None and state.last_kf_pose_np is not None:
+            # host-side test from the already-fetched pose: no extra sync
+            d = np.linalg.inv(state.last_kf_pose_np) @ pose_np
+            t = float(np.linalg.norm(d[:3, 3]))
+            cosang = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+            r = float(np.arccos(cosang))
+        else:
+            xi = se3.log(se3.inverse(state.last_kf_pose) @ state.odom.pose)
+            t = float(jnp.linalg.norm(xi[:3]))
+            r = float(jnp.linalg.norm(xi[3:]))
         return (t >= self.config.keyframe_translation
                 or r >= self.config.keyframe_rotation)
 
@@ -174,6 +189,8 @@ class SLAMSystem:
             kf_intensity=jnp.concatenate([state.kf_intensity[m:], pad_int]),
             kf_desc=jnp.concatenate([state.kf_desc[m:], pad_desc]),
             n_keyframes=n - m, archived_poses=archived,
+            loop_pairs={(i - m, j - m) for i, j in state.loop_pairs
+                        if i >= m and j >= m},
             n_evictions=state.n_evictions + m)
 
     def _store_keyframe(self, state: SLAMState, scan_ds: PointCloud
@@ -214,7 +231,14 @@ class SLAMSystem:
         graph, idx = add_node(state.graph, state.odom.pose)
         assert idx == k
         if k > 0:
-            Z = se3.inverse(state.graph.poses[k - 1]) @ state.odom.pose
+            # the odometry measurement is the relative motion between
+            # consecutive RAW odometry poses (last_kf_pose is the raw pose
+            # at the previous keyframe). Using graph.poses[k-1] here mixed
+            # frames once a sweep had optimized it: every later edge then
+            # encoded (optimized_{k-1})^-1 raw_k, and the solve was dragged
+            # back to raw drift — measured as loop closures changing the
+            # trajectory by nothing
+            Z = se3.inverse(state.last_kf_pose) @ state.odom.pose
             graph = add_edge(graph, k - 1, k, Z,
                              info=cfg.odom_edge_info
                              * jnp.eye(6, dtype=jnp.float32))
@@ -226,7 +250,9 @@ class SLAMSystem:
                                    kf_desc=kf_desc,
                                    n_keyframes=k + 1,
                                    last_kf_pose=jnp.array(state.odom.pose,
-                                                          copy=True))
+                                                          copy=True),
+                                   last_kf_pose_np=np.asarray(
+                                       state.odom.pose))
 
     # -- loop closure -----------------------------------------------------
 
@@ -235,8 +261,12 @@ class SLAMSystem:
         n = state.n_keyframes
         positions = state.graph.poses[:, :3, 3]
         ci, cj = propose_candidates(positions, n, cfg.loop)
-        # drop pairs already connected by an odometry edge
-        keep = (cj - ci) >= cfg.loop.min_index_gap
+        # drop pairs already connected by an odometry edge or an accepted
+        # loop edge from an earlier sweep
+        keep = [(j - i) >= cfg.loop.min_index_gap
+                and (int(i), int(j)) not in state.loop_pairs
+                for i, j in zip(ci, cj)]
+        keep = np.asarray(keep, bool) if len(keep) else np.zeros(0, bool)
         ci, cj = ci[keep], cj[keep]
         if cfg.loop.use_scan_context and n > cfg.loop.min_index_gap + 1:
             # appearance channel: proposes revisits the (drifted) proximity
@@ -249,7 +279,8 @@ class SLAMSystem:
             if si.size:
                 pairs = {(int(a), int(b)) for a, b in zip(ci, cj)}
                 fresh = [(a, b) for a, b in zip(si, sj)
-                         if (int(a), int(b)) not in pairs]
+                         if (int(a), int(b)) not in pairs
+                         and (int(a), int(b)) not in state.loop_pairs]
                 if fresh:
                     fi, fj = zip(*fresh)
                     ci = np.concatenate([ci, np.asarray(fi, np.int32)])
@@ -277,6 +308,7 @@ class SLAMSystem:
             graph = add_edge(graph, int(ci[k]), int(cj[k]), res.T[k],
                              info=cfg.loop_edge_info
                              * jnp.eye(6, dtype=jnp.float32))
+            state.loop_pairs.add((int(ci[k]), int(cj[k])))
         graph, _ = optimize_pose_graph(graph, cfg.graph)
 
         if not cfg.reanchor_after_loop:
@@ -315,6 +347,7 @@ class SLAMSystem:
 
         state = dataclasses.replace(state, graph=graph, odom=odom,
                                     last_kf_pose=new_kf,
+                                    last_kf_pose_np=np.asarray(new_kf),
                                     n_loop_closures=state.n_loop_closures
                                     + len(accepted))
         return state, len(accepted)
@@ -342,25 +375,33 @@ class SLAMSystem:
              ) -> Tuple[SLAMState, ScanMetrics]:
         cfg = self.config
         with Stopwatch() as sw:
+            pose_np = None
             if self._dense:
                 if state.odom is None:
                     odom_state = self.odometry.init_state(
                         cloud, self._pending_init_pose)
                     mm = np.zeros((5,), np.float32)
                     mm[1:4] = 1.0
+                    pose_np = np.asarray(odom_state.pose)
                 else:
                     odom_state = self.odometry.step(state.odom, cloud)
-                    mm = np.asarray(odom_state.last_metrics)
+                    # ONE device->host sync for pose + metrics together
+                    fused = np.asarray(jnp.concatenate(
+                        [odom_state.pose.reshape(-1),
+                         odom_state.last_metrics]))
+                    pose_np = fused[:16].reshape(4, 4)
+                    mm = fused[16:]
                 m = ScanMetrics(scan_index=len(self.metrics.records),
                                 iterations=int(mm[0]), residual=0.0,
                                 matched_fraction=float(mm[1]),
                                 wall_time_s=0.0)
+                self.last_pose_np = pose_np
             else:
                 odom_state, m = self.odometry.step(state.odom, cloud)
             state = dataclasses.replace(state, odom=odom_state)
 
             n_loops = 0
-            if self._is_keyframe(state):
+            if self._is_keyframe(state, pose_np):
                 scan_ds = self.odometry.downsample(cloud)
                 state = self._store_keyframe(state, scan_ds)
                 m.is_keyframe = True
