@@ -573,17 +573,28 @@ def bench_full_slam(n_poses=160):
         keyframe_capacity=192,
         keyframe_cloud_capacity=4096, loop_every=4,
         loop=LoopClosureParams(
-            max_distance=2.0, min_index_gap=16, max_candidates=4,
+            # loop closure = place REVISIT: the index gap spans most of a
+            # lap (~67 keyframes), so candidates are same-spot pairs whose
+            # full-overlap ICP verifies at mse ~0.004-0.04; mid-gap
+            # partial-overlap pairs (mse ~0.1) carry dm-level bias and 40
+            # of them out-vote the odometry chain (measured on-chip)
+            max_distance=2.0, min_index_gap=40, max_candidates=4,
             # acceptance gate calibrated to the keyframe cloud resolution:
             # two 0.25 m-downsampled clouds of the same surface match with
             # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
             # gate rejected every true revisit (r4 diag: frac 0.73-0.92,
             # err 0.09-0.2, all rejected)
-            max_error=0.12, min_matched_fraction=0.75,
-            max_correction_t=1.2, max_correction_r=0.4,
-            icp=ICPParams(max_iterations=30, tolerance=5e-4,
-                          max_corr_dist=1.0, huber_delta=0.3)),
-        edge_capacity=1024)
+            max_error=0.15, min_matched_fraction=0.85,
+            max_correction_t=1.5, max_correction_r=0.6,
+            # corr dist 2.0: the loosely-coupled drift at a lap revisit
+            # (~1 m) must sit inside the verification basin
+            icp=ICPParams(max_iterations=40, tolerance=5e-4,
+                          max_corr_dist=2.0, huber_delta=0.3)),
+        edge_capacity=1024,
+        # a verified same-spot revisit constraint is cm-accurate while the
+        # odometry chain carries the accumulated drift — weight it above
+        # the chain (the robust kernel + consistency gates bound the risk)
+        loop_edge_info=400.0)
 
     def run_tracked(slam):
         state = slam.init_state(jnp.asarray(gt[0], jnp.float32))
@@ -605,8 +616,10 @@ def bench_full_slam(n_poses=160):
     poses, state, kf_scan = run_tracked(slam)
     # final batch refinement: keyframes appended after the last accepted
     # loop have never been optimized (loosely-coupled mode)
-    from tpu_slam.graph.pose_graph import optimize_pose_graph
-    graph, _ = optimize_pose_graph(state.graph, cfg.graph)
+    from tpu_slam.graph.pose_graph import GraphSolveParams, optimize_pose_graph
+    graph, _ = optimize_pose_graph(state.graph, GraphSolveParams(
+        gn_iterations=20, cg_iterations=300, robust_delta=2.0,
+        robust_kernel="cauchy"))
     jax.block_until_ready(graph.poses)
     dt = time.perf_counter() - t0
     odom_ate = ate_rmse(poses, gt, align=False)

@@ -73,19 +73,20 @@ cfg = SLAMConfig(
                                           window_dims=(48, 48, 16)),
                             pyramid_factor=2),
     odometry_engine="dense",
-    keyframe_translation=0.22, keyframe_rotation=0.12,
+    keyframe_translation=0.19, keyframe_rotation=0.12,
     keyframe_capacity=192,
-    keyframe_cloud_capacity=8192, loop_every=4,
+    keyframe_cloud_capacity=4096, loop_every=4,
     loop=LoopClosureParams(
-        max_distance=2.0, min_index_gap=16, max_candidates=4,
+        max_distance=2.0, min_index_gap=40, max_candidates=4,
         # acceptance gate calibrated to the keyframe cloud resolution:
         # two 0.25 m-downsampled clouds of the same surface match with
         # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
         # gate rejected every true revisit (r4 diag: frac 0.73-0.92,
         # err 0.09-0.2, all rejected)
-        max_error=0.25,
-        icp=ICPParams(max_iterations=25, max_corr_dist=1.0,
-                      huber_delta=0.3)),
+        max_error=0.06, min_matched_fraction=0.85,
+        max_correction_t=1.2, max_correction_r=0.4,
+        icp=ICPParams(max_iterations=30, tolerance=5e-4,
+                      max_corr_dist=1.0, huber_delta=0.3)),
     edge_capacity=1024,
     rebuild_map_after_loop=('--no-rebuild' not in sys.argv))
 class LoggedSLAM(SLAMSystem):
