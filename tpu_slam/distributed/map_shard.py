@@ -512,10 +512,8 @@ def ndt_register_sharded(mesh: Mesh, source: PointCloud,
                     return H, b, cost, frac
                 return terms
 
-        def lm_solve(T00, gamma, max_iters, tol):
-            # per-stage frozen bins, live gate — same policy as the
-            # single-chip ndt_register
-            terms = make_terms(bin_raster(T00) if use_kernel else None)
+        def lm_solve(T00, gamma, max_iters, tol, raster=None):
+            terms = make_terms(raster)
             H0, b0, cost0, frac0 = terms(T00, gamma)
 
             def cond(state):
@@ -545,16 +543,62 @@ def ndt_register_sharded(mesh: Mesh, source: PointCloud,
                     jnp.int32(0), jnp.float32(jnp.inf))
             return jax.lax.while_loop(cond, body, init)
 
+        def staged_solve(T0s, gamma, n_iters, iters_per_stage, tol):
+            """Mirror of ndt_register's staged_kernel_solve cadence
+            (registration/ndt.py:781-804): re-bin the raster at the
+            CURRENT pose every ``iters_per_stage`` LM iterations, so the
+            sharded kernel tier stays numerically comparable to the
+            single-chip path (the r4 parity test tracks this)."""
+            if not use_kernel:
+                T2, _, cost2, _, _, frac2, it2, dx2 = lm_solve(
+                    T0s, gamma, n_iters, tol)
+                return T2, it2, frac2, cost2, dx2
+            n_stages = -(-n_iters // iters_per_stage)
+
+            def cond(c):
+                s, T, it, frac, cost, dx = c
+                return (s < n_stages) & (dx > tol)
+
+            def body(c):
+                s, T, it, frac, cost, dx = c
+                T2, _, cost2, _, _, frac2, it2, dx2 = lm_solve(
+                    T, gamma, iters_per_stage, tol, raster=bin_raster(T))
+                return (s + 1, T2, it + it2, frac2, cost2, dx2)
+
+            init = (jnp.int32(0), T0s, jnp.int32(0), jnp.float32(0.0),
+                    jnp.float32(jnp.inf), jnp.float32(jnp.inf))
+            _, T, it, frac, cost, dx = jax.lax.while_loop(cond, body, init)
+            return T, it, frac, cost, dx
+
         gamma_f = jnp.float32(params.score_temperature)
+        T_c, it_c = T0, jnp.int32(0)
+        if use_kernel and params.yaw_candidates > 1:
+            # same yaw-candidate pre-search as the single-chip kernel path
+            gamma_y = gamma_f * max(params.coarse_temperature_scale, 1.0)
+            offs = jnp.linspace(-params.yaw_span, params.yaw_span,
+                                params.yaw_candidates)
+            costs, Tys = [], []
+            for k in range(params.yaw_candidates):
+                cy, sy = jnp.cos(offs[k]), jnp.sin(offs[k])
+                Rz = jnp.eye(4, dtype=jnp.float32)
+                Rz = Rz.at[0, 0].set(cy).at[0, 1].set(-sy)
+                Rz = Rz.at[1, 0].set(sy).at[1, 1].set(cy)
+                Ty = T_c @ Rz
+                _, _, cst, _ = make_terms(bin_raster(Ty))(Ty, gamma_y)
+                costs.append(cst)
+                Tys.append(Ty)
+            best = jnp.argmin(jnp.stack(costs))
+            T_c = jnp.stack(Tys)[best]
         if (params.coarse_iterations > 0
                 and params.coarse_temperature_scale > 1.0):
-            T_c, _, _, _, _, _, it_c, _ = lm_solve(
-                T0, gamma_f * params.coarse_temperature_scale,
-                params.coarse_iterations, 10.0 * params.tolerance)
-        else:
-            T_c, it_c = T0, jnp.int32(0)
-        T, _, cost, _, _, frac, iters, dx = lm_solve(
-            T_c, gamma_f, params.max_iterations, params.tolerance)
+            # coarse stage re-bins EVERY iteration (ndt_register:841-853)
+            T_c, it1, _, _, _ = staged_solve(
+                T_c, gamma_f * params.coarse_temperature_scale,
+                params.coarse_iterations, 1, 10.0 * params.tolerance)
+            it_c = it_c + it1
+        T, iters, frac, cost, dx = staged_solve(
+            T_c, gamma_f, params.max_iterations,
+            max(1, params.rebin_iters), params.tolerance)
         return T, iters + it_c, cost, frac, dx
 
     T, iters, cost, frac, dx = solve(smap.keys, smap.count, smap.sum_pts,

@@ -31,12 +31,17 @@ class LoopClosureParams:
     max_candidates: int = 16         # per detection sweep (static batch)
     min_matched_fraction: float = 0.5
     max_error: float = 0.05          # mean squared residual acceptance gate
-    max_correction_t: float = 1e9    # consistency gate: reject constraints
-    max_correction_r: float = 1e9    # deviating from the current estimate
+    max_correction_t: float = 3.0    # consistency gate: reject constraints
+    max_correction_r: float = 0.5    # deviating from the current estimate
                                      # by more than this (m / rad) — a
                                      # verified-looking alias (symmetric
                                      # structure) shows up as a huge
-                                     # correction
+                                     # correction. Finite by default (r4
+                                     # advisor: 1e9 disabled the gate, so
+                                     # an unconverged alignment scraping
+                                     # past the quality gates could
+                                     # out-vote the odometry chain); sized
+                                     # to generous accumulated drift.
     icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0,
                                huber_delta=0.3)
     # appearance channel (graph/scan_context.py): candidates the proximity

@@ -224,8 +224,24 @@ class EncoderHistory:
         with self._lock:
             return len(self._t)
 
+    def newest_t(self) -> float:
+        """Time of the newest sample (-inf when empty) — lets a consumer
+        wait for a bracketing sample before interpolating."""
+        with self._lock:
+            return self._t[-1] if self._t else float("-inf")
+
     def at(self, t: float) -> float:
-        """Unwrapped angle at time ``t`` (clamped to the sampled span)."""
+        """Unwrapped angle at time ``t``.
+
+        Queries inside the sampled span interpolate linearly between the
+        bracketing samples. Queries slightly PAST the newest sample
+        extrapolate along the last two samples' slope (bounded to 50 ms) —
+        in steady state the consumer asks at line-arrival time, which is
+        almost always a fraction of a sampler period newer than the last
+        sample, and clamping there degrades interpolation to a zero-order
+        hold with one period of angular lag (r4 advisor finding #5).
+        Queries before the first sample clamp to it.
+        """
         import bisect
         with self._lock:
             if not self._t:
@@ -236,6 +252,9 @@ class EncoderHistory:
         if i <= 0:
             return an[0]
         if i >= len(ts):
+            if len(ts) >= 2 and ts[-1] > ts[-2]:
+                slope = (an[-1] - an[-2]) / (ts[-1] - ts[-2])
+                return an[-1] + slope * min(t - ts[-1], 0.05)
             return an[-1]
         t0, t1 = ts[i - 1], ts[i]
         a0, a1 = an[i - 1], an[i]

@@ -149,6 +149,7 @@ class LivePipeline:
         cfg = self.config
         sampler = None
         self._enc_hist = None
+        self._sampler_stop = threading.Event()
         self.line_angles = []
         if encoder_rate_hz > 0:
             from tpu_slam.ingest.frames import EncoderHistory
@@ -158,9 +159,13 @@ class LivePipeline:
             def _sample():
                 # unwrap correctness needs consecutive samples < pi apart:
                 # encoder_rate_hz must exceed rotation_speed / pi (500 Hz
-                # covers any physical unit speed)
+                # covers any physical unit speed). The sampler outlives the
+                # PRODUCER on purpose: lines backlogged in the device
+                # socket during jit warm-up are burst-drained in ~10 ms,
+                # and the consumer must still find bracketing samples for
+                # them while it works through the feeder queue.
                 period = 1.0 / encoder_rate_hz
-                while not self._producer_done.is_set():
+                while not self._sampler_stop.is_set():
                     hist.push(time.monotonic() - self._t_ref,
                               float(angle_source()))
                     time.sleep(period)
@@ -200,8 +205,18 @@ class LivePipeline:
                     continue
                 ranges, intens, stamp, angle = out
                 if self._enc_hist is not None:
-                    t_arr = self._t_ref + float(angle)
-                    angle = self._enc_hist.at(float(angle))
+                    q = float(angle)              # line arrival, rel. t_ref
+                    t_arr = self._t_ref + q
+                    # bounded bracket wait: interpolation is only exact
+                    # between two samples; a query past the newest sample
+                    # would clamp/extrapolate. The sampler pushes every
+                    # 1/encoder_rate_hz, so one fresh sample is at most a
+                    # period away — wait up to ~5 periods for it.
+                    deadline = time.monotonic() + 5.0 / encoder_rate_hz
+                    while (self._enc_hist.newest_t() < q
+                           and time.monotonic() < deadline):
+                        time.sleep(0.25 / encoder_rate_hz)
+                    angle = self._enc_hist.at(q)
                     self.line_angles.append((t_arr, angle))
                 n = ranges.shape[0]
                 dirs = self._directions(n)
@@ -228,6 +243,7 @@ class LivePipeline:
         finally:
             self._producer_done.wait(timeout=cfg.poll_timeout_ms / 1e3 + 1.0)
             producer.join(timeout=2.0)
+            self._sampler_stop.set()
             feeder.close()
         if self._producer_error is not None:
             raise self._producer_error

@@ -114,6 +114,11 @@ class SLAMSystem:
         else:
             self.odometry = LidarOdometry(config.odometry)
         self.metrics = MetricsLog()
+        # per-sweep loop-closure diagnostics: list of dicts with the
+        # proposed pairs and each gate's outcome (filled when
+        # ``collect_loop_debug`` is True — bench/diagnosis only)
+        self.collect_loop_debug = False
+        self.loop_debug: List[dict] = []
 
     @property
     def _dense(self) -> bool:
@@ -288,12 +293,32 @@ class SLAMSystem:
                     ci, cj = (ci[: cfg.loop.max_candidates],
                               cj[: cfg.loop.max_candidates])
         if ci.size == 0:
+            if self.collect_loop_debug:
+                self.loop_debug.append({"n": n, "pairs": []})
             return state, 0
 
         res, accept = verify_candidates(
             state.kf_points, state.kf_mask, state.graph.poses, ci, cj,
             cfg.loop)
         accept_np = np.asarray(accept)
+        if self.collect_loop_debug:
+            from tpu_slam.core import se3 as _se3
+            Ti = jnp.take(state.graph.poses, jnp.asarray(ci), axis=0)
+            Tj = jnp.take(state.graph.poses, jnp.asarray(cj), axis=0)
+            init = jax.vmap(lambda a, b: _se3.inverse(a) @ b)(Ti, Tj)
+            dev = np.asarray(jax.vmap(
+                lambda Z, T0: _se3.log(_se3.inverse(Z) @ T0))(res.T, init))
+            self.loop_debug.append({
+                "n": n,
+                "pairs": [
+                    {"i": int(a), "j": int(b),
+                     "frac": float(res.matched_fraction[k]),
+                     "err": float(res.error[k]),
+                     "dev_t": float(np.linalg.norm(dev[k, :3])),
+                     "dev_r": float(np.linalg.norm(dev[k, 3:])),
+                     "converged": bool(res.converged[k]),
+                     "accepted": bool(accept_np[k])}
+                    for k, (a, b) in enumerate(zip(ci, cj))]})
         if not accept_np.any():
             return state, 0
 
@@ -304,18 +329,23 @@ class SLAMSystem:
             # edge capacity nearly full — the NEXT keyframe store will
             # slide the window; keep only what fits now
             accepted = accepted[:free]
+        new_pairs = set()
         for k in accepted:
             graph = add_edge(graph, int(ci[k]), int(cj[k]), res.T[k],
                              info=cfg.loop_edge_info
                              * jnp.eye(6, dtype=jnp.float32))
-            state.loop_pairs.add((int(ci[k]), int(cj[k])))
+            new_pairs.add((int(ci[k]), int(cj[k])))
+        # fresh set, not in-place mutation: a retained snapshot of an
+        # earlier state (checkpoint/rollback) must not inherit pairs added
+        # after it was taken (r4 advisor finding #4)
+        loop_pairs = state.loop_pairs | new_pairs
         graph, _ = optimize_pose_graph(graph, cfg.graph)
 
         if not cfg.reanchor_after_loop:
             # loosely coupled: the optimized trajectory lives in the graph;
             # odometry (and its window) is left untouched
             state = dataclasses.replace(
-                state, graph=graph,
+                state, graph=graph, loop_pairs=loop_pairs,
                 n_loop_closures=state.n_loop_closures + len(accepted))
             return state, len(accepted)
 
@@ -348,6 +378,7 @@ class SLAMSystem:
         state = dataclasses.replace(state, graph=graph, odom=odom,
                                     last_kf_pose=new_kf,
                                     last_kf_pose_np=np.asarray(new_kf),
+                                    loop_pairs=loop_pairs,
                                     n_loop_closures=state.n_loop_closures
                                     + len(accepted))
         return state, len(accepted)
