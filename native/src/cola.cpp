@@ -117,9 +117,18 @@ extern "C" int ts_cola_next_frame(const uint8_t* buf, size_t len,
   return 1;
 }
 
-extern "C" int ts_cola_parse_scan(const uint8_t* payload, size_t len,
-                                  ts_scan_meta* meta, float* ranges_m,
-                                  float* intensities, int32_t cap) {
+extern "C" int ts_cola_parse_scan_multi(const uint8_t* payload, size_t len,
+                                        ts_scan_meta* meta, float* ranges_m,
+                                        float* intensities, int32_t cap,
+                                        int32_t max_echoes,
+                                        int32_t* n_dist_per_echo,
+                                        int32_t* n_rssi_per_echo) {
+  // Multi-echo parse: DIST1..DIST{max_echoes} / RSSI1..RSSI{max_echoes}
+  // (lms_mini_lib.cpp:170-208 procesChannel per label). ranges_m and
+  // intensities are echo-major (max_echoes x cap) caller buffers; per-echo
+  // sample counts land in n_dist_per_echo / n_rssi_per_echo (0 = channel
+  // absent). DIST1 must be present; higher echoes are optional.
+  if (max_echoes < 1 || max_echoes > 5) return -1;
   std::vector<Tok> toks;
   toks.reserve(len / 4);
   tokenize(payload, len, &toks);
@@ -134,46 +143,73 @@ extern "C" int ts_cola_parse_scan(const uint8_t* payload, size_t len,
   if (hex_u32(toks[10], &u)) meta->time_of_transmission_us = u;
   if (hex_u32(toks[16], &u)) meta->scan_frequency_hz = 0.01f * u;
 
-  int d = find_label(toks, "DIST1");
-  if (d < 0 || d + 6 > static_cast<int>(toks.size())) return -1;
-  float scale = 1.0f, scale_off = 0.0f;
-  if (!hex_f32(toks[d + 1], &scale)) return -1;
-  hex_f32(toks[d + 2], &scale_off);
-  int32_t sa;
-  if (!hex_i32(toks[d + 3], &sa)) return -1;
-  meta->start_angle_deg = 1e-4f * sa;
-  uint32_t step;
-  if (!hex_u32(toks[d + 4], &step)) return -1;
-  meta->ang_step_deg = 1e-4f * step;
-  meta->scale_factor = scale;
-  uint32_t n;
-  if (!hex_u32(toks[d + 5], &n)) return -1;
-  if (d + 6 + static_cast<int>(n) > static_cast<int>(toks.size())) return -1;
-  if (static_cast<int32_t>(n) > cap) return -3;
-  meta->n_dist = static_cast<int32_t>(n);
-
-  const float to_m = 0.001f * scale;  // mm -> m (lms_poller.cpp:84)
-  for (uint32_t i = 0; i < n; ++i) {
-    uint32_t raw;
-    if (!hex_u32(toks[d + 6 + i], &raw)) return -1;
-    ranges_m[i] = to_m * static_cast<float>(raw);
+  char label[6] = "DIST1";
+  for (int32_t e = 0; e < max_echoes; ++e) {
+    if (n_dist_per_echo != nullptr) n_dist_per_echo[e] = 0;
+    label[4] = static_cast<char>('1' + e);
+    int d = find_label(toks, label);
+    if (d < 0 || d + 6 > static_cast<int>(toks.size())) {
+      if (e == 0) return -1;  // first echo is mandatory
+      continue;
+    }
+    float scale = 1.0f, scale_off = 0.0f;
+    if (!hex_f32(toks[d + 1], &scale)) return -1;
+    hex_f32(toks[d + 2], &scale_off);
+    int32_t sa;
+    if (!hex_i32(toks[d + 3], &sa)) return -1;
+    uint32_t step;
+    if (!hex_u32(toks[d + 4], &step)) return -1;
+    uint32_t n;
+    if (!hex_u32(toks[d + 5], &n)) return -1;
+    if (d + 6 + static_cast<int>(n) > static_cast<int>(toks.size()))
+      return -1;
+    if (static_cast<int32_t>(n) > cap) return -3;
+    if (e == 0) {
+      meta->start_angle_deg = 1e-4f * sa;
+      meta->ang_step_deg = 1e-4f * step;
+      meta->scale_factor = scale;
+      meta->n_dist = static_cast<int32_t>(n);
+    }
+    const float to_m = 0.001f * scale;  // mm -> m (lms_poller.cpp:84)
+    float* out = ranges_m + static_cast<size_t>(e) * cap;
+    for (uint32_t i = 0; i < n; ++i) {
+      uint32_t raw;
+      if (!hex_u32(toks[d + 6 + i], &raw)) return -1;
+      out[i] = to_m * static_cast<float>(raw);
+    }
+    if (n_dist_per_echo != nullptr)
+      n_dist_per_echo[e] = static_cast<int32_t>(n);
   }
 
   meta->n_rssi = 0;
-  int r = find_label(toks, "RSSI1");
-  if (r >= 0 && intensities != nullptr &&
-      r + 6 <= static_cast<int>(toks.size())) {
+  if (intensities == nullptr) return 0;
+  char rlabel[6] = "RSSI1";
+  for (int32_t e = 0; e < max_echoes; ++e) {
+    if (n_rssi_per_echo != nullptr) n_rssi_per_echo[e] = 0;
+    rlabel[4] = static_cast<char>('1' + e);
+    int r = find_label(toks, rlabel);
+    if (r < 0 || r + 6 > static_cast<int>(toks.size())) continue;
     uint32_t nr;
-    if (hex_u32(toks[r + 5], &nr) &&
-        r + 6 + static_cast<int>(nr) <= static_cast<int>(toks.size()) &&
-        static_cast<int32_t>(nr) <= cap) {
-      for (uint32_t i = 0; i < nr; ++i) {
-        uint32_t raw;
-        if (!hex_u32(toks[r + 6 + i], &raw)) return -1;
-        intensities[i] = static_cast<float>(raw);
-      }
-      meta->n_rssi = static_cast<int32_t>(nr);
+    if (!hex_u32(toks[r + 5], &nr) ||
+        r + 6 + static_cast<int>(nr) > static_cast<int>(toks.size()) ||
+        static_cast<int32_t>(nr) > cap)
+      continue;
+    float* out = intensities + static_cast<size_t>(e) * cap;
+    for (uint32_t i = 0; i < nr; ++i) {
+      uint32_t raw;
+      if (!hex_u32(toks[r + 6 + i], &raw)) return -1;
+      out[i] = static_cast<float>(raw);
     }
+    if (e == 0) meta->n_rssi = static_cast<int32_t>(nr);
+    if (n_rssi_per_echo != nullptr)
+      n_rssi_per_echo[e] = static_cast<int32_t>(nr);
   }
   return 0;
+}
+
+extern "C" int ts_cola_parse_scan(const uint8_t* payload, size_t len,
+                                  ts_scan_meta* meta, float* ranges_m,
+                                  float* intensities, int32_t cap) {
+  return ts_cola_parse_scan_multi(payload, len, meta, ranges_m, intensities,
+                                  cap, 1, nullptr, nullptr);
 }

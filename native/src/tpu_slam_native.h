@@ -59,6 +59,17 @@ int ts_cola_next_frame(const uint8_t* buf, size_t len, size_t* start,
 int ts_cola_parse_scan(const uint8_t* payload, size_t len, ts_scan_meta* meta,
                        float* ranges_m, float* intensities, int32_t cap);
 
+/* Multi-echo variant: parses DIST1..DIST{max_echoes} / RSSI1..RSSI{max_
+ * echoes} (reference lms_mini_lib.cpp:170-208). ranges_m / intensities are
+ * echo-major (max_echoes x cap) buffers; n_dist_per_echo / n_rssi_per_echo
+ * (int32[max_echoes], may be NULL) receive per-echo sample counts (0 =
+ * channel absent). DIST1 is mandatory; meta describes echo 1. */
+int ts_cola_parse_scan_multi(const uint8_t* payload, size_t len,
+                             ts_scan_meta* meta, float* ranges_m,
+                             float* intensities, int32_t cap,
+                             int32_t max_echoes, int32_t* n_dist_per_echo,
+                             int32_t* n_rssi_per_echo);
+
 /* ------------------------------------------------------------------ */
 /* SICK LMS TCP client                                                */
 /* ------------------------------------------------------------------ */

@@ -46,6 +46,40 @@ def test_parse_parity_with_python():
                                tg.rssi_channels[0].data.astype(np.float32))
 
 
+def test_parse_multi_echo_parity_with_python():
+    """DIST1..5 / RSSI1..5 telegrams parse identically in C++ and Python
+    (reference lms_mini_lib.cpp:170-208 procesChannel per label)."""
+    rng = np.random.default_rng(1)
+    n = 271
+    dists = [rng.integers(20, 60000, n).astype(np.uint32) for _ in range(3)]
+    rssis = [rng.integers(0, 255, n).astype(np.uint32) for _ in range(3)]
+    raw = sc.format_telegram(dists, rssi=rssis, scale_factor=2.0,
+                             start_angle_deg=-135.0, ang_step_deg=0.5,
+                             scan_no=7)
+    payload = sc.extract_frames(raw)[0][0]
+
+    tg = sc.parse_telegram(payload)
+    assert len(tg.dist_channels) == 3 and len(tg.rssi_channels) == 3
+
+    meta, n_dists, n_rssis = nat.parse_telegram_native_multi(payload)
+    assert meta.scan_no == 7
+    assert len(n_dists) == 3 and len(n_rssis) == 3
+    for e in range(3):
+        scale = 0.001 * tg.dist_channels[e].scale_factor
+        py_ranges = tg.dist_channels[e].data.astype(np.float32) * scale
+        np.testing.assert_allclose(n_dists[e], py_ranges, rtol=1e-6)
+        np.testing.assert_allclose(
+            n_rssis[e], tg.rssi_channels[e].data.astype(np.float32))
+
+    # single-echo telegrams still parse through the multi path, one channel
+    raw1 = sc.format_telegram(dists[0], rssi=rssis[0], scale_factor=1.0)
+    payload1 = sc.extract_frames(raw1)[0][0]
+    meta1, d1, r1 = nat.parse_telegram_native_multi(payload1)
+    assert len(d1) == 1 and len(r1) == 1
+    np.testing.assert_allclose(
+        d1[0], dists[0].astype(np.float32) * 0.001, rtol=1e-6)
+
+
 def test_parse_rejects_garbage():
     lib = nat.load()
     with pytest.raises(ValueError):

@@ -44,6 +44,18 @@ class LoopClosureParams:
                                      # to generous accumulated drift.
     icp: ICPParams = ICPParams(max_iterations=30, max_corr_dist=1.0,
                                huber_delta=0.3)
+    # Verify with point-to-PLANE ICP against stored keyframe normals.
+    # Point-to-point NN residuals between two sparse-ring lidar scans taken
+    # a meter apart are dominated by ring-spacing mismatch (~0.15-0.25 mse
+    # at PERFECT alignment on the r4 config-4 bench — every true revisit
+    # rejected); plane residuals collapse that to noise + flatness, so
+    # max_error becomes a discriminative gate (calibrate to ~1e-2).
+    plane_verify: bool = True
+    # Sweeps a REJECTED pair sits out before it may be re-proposed: without
+    # a cooldown the same near-miss pairs burn the whole max_candidates
+    # budget every sweep (r4: 3 pairs re-verified 5x each while fresh
+    # revisit pairs were never tried).
+    retry_cooldown: int = 6
     # appearance channel (graph/scan_context.py): candidates the proximity
     # gate cannot see once drift exceeds max_distance. 0 disables.
     use_scan_context: bool = True
@@ -77,7 +89,8 @@ def propose_candidates(positions: jax.Array, n_nodes: int,
 
 def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
                       poses: jax.Array, cand_i: np.ndarray,
-                      cand_j: np.ndarray, params: LoopClosureParams
+                      cand_j: np.ndarray, params: LoopClosureParams,
+                      clouds_normals: jax.Array = None
                       ) -> Tuple[ICPResult, jax.Array]:
     """Register candidate pairs in one vmapped batch.
 
@@ -86,6 +99,9 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
       clouds_mask: (N, P) validity.
       poses: (N, 4, 4) current world<-keyframe estimates (init guesses).
       cand_i/cand_j: (K,) candidate indices (host arrays).
+      clouds_normals: (N, P, 3) per-point normals (registration.normals),
+        required when params.plane_verify — the solve and the error gate
+        then run point-to-plane.
 
     Returns (batched ICPResult with leading axis K, accept (K,) bool). The
     measured constraint for edge (i, j) is Z = result.T — the transform
@@ -93,6 +109,7 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
     onto target=cloud_i, so Z = T_i^-1 T_j refined; feed to
     pose_graph.add_edge(i, j, Z).
     """
+    plane = params.plane_verify and clouds_normals is not None
     ci = jnp.asarray(cand_i)
     cj = jnp.asarray(cand_j)
     src_pts = jnp.take(clouds_points, cj, axis=0)
@@ -103,12 +120,25 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
     Tj = jnp.take(poses, cj, axis=0)
     init = jax.vmap(lambda a, b: se3.inverse(a) @ b)(Ti, Tj)
 
-    def one(sp, sm, tp, tm, T0):
-        return icp(PointCloud(points=sp, mask=sm),
-                   PointCloud(points=tp, mask=tm),
-                   init_T=T0, params=params.icp)
+    icp_params = params.icp
+    if plane:
+        icp_params = dataclasses.replace(icp_params, point_to_plane=True)
+        tgt_nrm = jnp.take(clouds_normals, ci, axis=0)
 
-    res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, init)
+        def one(sp, sm, tp, tm, tn, T0):
+            return icp(PointCloud(points=sp, mask=sm),
+                       PointCloud(points=tp, mask=tm),
+                       init_T=T0, params=icp_params, target_normals=tn)
+
+        res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, tgt_nrm,
+                            init)
+    else:
+        def one(sp, sm, tp, tm, T0):
+            return icp(PointCloud(points=sp, mask=sm),
+                       PointCloud(points=tp, mask=tm),
+                       init_T=T0, params=icp_params)
+
+        res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, init)
     # gate on solution QUALITY (match fraction + residual) and on
     # CONSISTENCY with the current estimate, not on the step-norm
     # convergence flag: long-gap revisit pairs routinely hit the iteration

@@ -76,6 +76,11 @@ def _configure(lib: ctypes.CDLL):
     lib.ts_cola_parse_scan.argtypes = [u8p, ctypes.c_size_t,
                                        ctypes.POINTER(ScanMeta), f32p, f32p,
                                        ctypes.c_int32]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ts_cola_parse_scan_multi.restype = ctypes.c_int
+    lib.ts_cola_parse_scan_multi.argtypes = [
+        u8p, ctypes.c_size_t, ctypes.POINTER(ScanMeta), f32p, f32p,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p]
 
     lib.ts_lms_create.restype = ctypes.c_void_p
     lib.ts_lms_destroy.argtypes = [ctypes.c_void_p]
@@ -166,6 +171,37 @@ def parse_telegram_native(payload: bytes, cap: int = 4096
     if rc != 0:
         raise ValueError(f"native parse failed: {rc}")
     return meta, ranges[:meta.n_dist].copy(), intens[:meta.n_rssi].copy()
+
+
+def parse_telegram_native_multi(payload: bytes, cap: int = 4096,
+                                max_echoes: int = 5):
+    """Parse an LMDscandata payload with ALL echo channels (DIST1..5 /
+    RSSI1..5, reference lms_mini_lib.cpp:170-208) through the C++ parser.
+
+    Returns (meta, dist_echoes, rssi_echoes): lists of per-echo float32
+    arrays, one entry per PRESENT channel (echo order, gaps dropped).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built (make native)")
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    meta = ScanMeta()
+    ranges = np.zeros((max_echoes, cap), np.float32)
+    intens = np.zeros((max_echoes, cap), np.float32)
+    n_dist = np.zeros(max_echoes, np.int32)
+    n_rssi = np.zeros(max_echoes, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.ts_cola_parse_scan_multi(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(payload),
+        ctypes.byref(meta), _f32p(ranges), _f32p(intens), cap, max_echoes,
+        n_dist.ctypes.data_as(i32p), n_rssi.ctypes.data_as(i32p))
+    if rc != 0:
+        raise ValueError(f"native multi-echo parse failed: {rc}")
+    dists = [ranges[e, :n_dist[e]].copy() for e in range(max_echoes)
+             if n_dist[e] > 0]
+    rssis = [intens[e, :n_rssi[e]].copy() for e in range(max_echoes)
+             if n_rssi[e] > 0]
+    return meta, dists, rssis
 
 
 class NativeLms:

@@ -254,8 +254,8 @@ def laser_scan_to_points(scan: LaserScan) -> tuple[np.ndarray, np.ndarray]:
     return pts, inten
 
 
-def format_telegram(ranges_mm: np.ndarray,
-                    rssi: Optional[np.ndarray] = None,
+def format_telegram(ranges_mm: np.ndarray | Sequence[np.ndarray],
+                    rssi: Optional[np.ndarray | Sequence[np.ndarray]] = None,
                     scale_factor: float = 1.0,
                     start_angle_deg: float = -45.0,
                     ang_step_deg: float = 0.5,
@@ -264,12 +264,27 @@ def format_telegram(ranges_mm: np.ndarray,
     """Encode an LMDscandata telegram (inverse of parse — simulator/tests).
 
     Produces the framed STX..ETX byte string a real LMS-1xx would emit for
-    one first-echo scan; used by golden tests and the device simulator.
+    one scan; used by golden tests and the device simulator. ``ranges_mm``
+    (and ``rssi``) may be a single (N,) array — first echo only — or a
+    sequence of up to 5 arrays, one per echo: the device emits DIST1..5 /
+    RSSI1..5 channel blocks in multi-echo mode
+    (lms_mini_lib.cpp:170-208 procesChannel per label).
     """
     def hx(v: int) -> str:
         return format(v & 0xFFFFFFFF, "X")
 
+    dists = ([np.asarray(r) for r in ranges_mm]
+             if isinstance(ranges_mm, (list, tuple))
+             else [np.asarray(ranges_mm)])
+    rssis = ([] if rssi is None
+             else [np.asarray(r) for r in rssi]
+             if isinstance(rssi, (list, tuple)) else [np.asarray(rssi)])
+    if len(dists) > 5 or len(rssis) > 5:
+        raise ValueError("at most 5 echo channels (DIST1..5/RSSI1..5)")
+
     scale_hex = format(struct.unpack(">I", struct.pack(">f", scale_factor))[0], "X")
+    sa_hex = hx(int(start_angle_deg * 10000) & 0xFFFFFFFF)
+    step_hex = format(int(ang_step_deg * 10000), "X")
     toks = [
         "sSN", "LMDscandata", "1", "1", hx(12345678),
         "0", "0",                       # device status
@@ -278,19 +293,17 @@ def format_telegram(ranges_mm: np.ndarray,
         "0", "0", "0", "0",             # input/output status
         "0",                            # reserved
         hx(int(scan_frequency_hz * 100)),
-        hx(int(scan_frequency_hz * len(ranges_mm) / 100)),
+        hx(int(scan_frequency_hz * len(dists[0]) / 100)),
         "0",                            # no encoders
-        "1",                            # 16-bit channel count
-        "DIST1", scale_hex, "00000000",
-        hx(int(start_angle_deg * 10000) & 0xFFFFFFFF),
-        format(int(ang_step_deg * 10000), "X"),
-        hx(len(ranges_mm)),
-    ] + [format(int(r) & 0xFFFFFFFF, "X") for r in ranges_mm]
-    if rssi is not None:
-        toks += [
-            "1", "RSSI1", "3F800000", "00000000",
-            hx(int(start_angle_deg * 10000) & 0xFFFFFFFF),
-            format(int(ang_step_deg * 10000), "X"),
-            hx(len(rssi)),
-        ] + [format(int(v) & 0xFFFFFFFF, "X") for v in rssi]
+        hx(len(dists)),                 # 16-bit channel count
+    ]
+    for e, r in enumerate(dists):
+        toks += [f"DIST{e + 1}", scale_hex, "00000000", sa_hex, step_hex,
+                 hx(len(r))] + [format(int(v) & 0xFFFFFFFF, "X") for v in r]
+    if rssis:
+        toks += [hx(len(rssis))]        # 8-bit channel count
+        for e, r in enumerate(rssis):
+            toks += [f"RSSI{e + 1}", "3F800000", "00000000", sa_hex,
+                     step_hex, hx(len(r))] + [
+                         format(int(v) & 0xFFFFFFFF, "X") for v in r]
     return STX + " ".join(toks).encode("ascii") + ETX

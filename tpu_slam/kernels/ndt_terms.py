@@ -125,26 +125,32 @@ def build_terms_raster(points: jax.Array, mask: jax.Array, T0: jax.Array,
         rank = rank + (prev == sc).astype(jnp.int32)
     keep = (sc < g) & (rank < q_cap)
 
-    # ONE row scatter into a compact (G*Q, 4) slot table, then a dense
-    # transpose into the kernel layout (plane x, channel row c*Q + rank,
-    # sublane z%8, lane y*Wz8 + z//8).  The first version did four scalar
-    # scatters (one per channel) — 4x the per-index scatter cost, measured
-    # 0.5-4 ms per build; the row scatter pays each index once and the
-    # transpose is a cheap dense reshuffle.  Dropped points scatter to
-    # index ``total`` — OUT of bounds for the table, so mode="drop" really
-    # drops them and the unique_indices=True hint is honest (an in-bounds
-    # shared sentinel would be duplicate indices, undefined under it).
-    total = g * q_cap
-    slot = jnp.where(keep, sc * q_cap + rank, total)
-    rows = jnp.concatenate(
+    # Scatter DIRECTLY into the kernel plane layout (plane x, channel row
+    # c*Q + rank, sublane z%8, lane y*Wz8 + z//8) with per-(point, channel)
+    # linear indices.  Two earlier shapes of this build both lost to the
+    # layout shuffle, not the scatter: four scalar scatters into the
+    # LAYOUT-transposed table cost 0.5-4 ms, and the r4 row-scatter into a
+    # cell-major (G*Q, 4) table followed by a dense (x,y,z8,s,q,c) ->
+    # (x,c,q,s,y,z8) transpose cost 15.7 ms at (160,160,32) — the
+    # minor-dim-4 relayout is the pathological part (r5 profile:
+    # sort+rank+scatter sum to <1 ms; the transpose is the rest).  One
+    # scatter of 4N scalar indices pays ~5 ns/index and needs no relayout
+    # at all.  Dropped points scatter OUT of bounds, so mode="drop" really
+    # drops them and unique_indices=True is honest.
+    sx = sc // (wy * wz)
+    sy = (sc // wz) % wy
+    szz = sc % wz
+    lin0 = (((sx * (4 * q_cap) + rank) * 8 + szz % 8) * l8
+            + sy * wz8 + szz // 8)
+    total = wx * 4 * q_cap * 8 * l8
+    lin0 = jnp.where(keep, lin0, total)
+    chan_off = jnp.arange(4, dtype=jnp.int32) * (q_cap * 8 * l8)
+    lin = (lin0[:, None] + chan_off[None, :]).reshape(-1)      # (4n,)
+    vals = jnp.concatenate(
         [jnp.where(keep[:, None], sp, 0.0),
-         keep[:, None].astype(jnp.float32)], axis=1)          # (n, 4)
-    table = jnp.zeros((total, 4), jnp.float32).at[slot].set(
-        rows, mode="drop", unique_indices=True)
-    # (x, y, z8, s8, q, c) -> (x, c, q, s8, y, z8)
-    t6 = table.reshape(wx, wy, wz8, 8, q_cap, 4)
-    raster = jnp.transpose(t6, (0, 5, 4, 3, 1, 2)).reshape(
-        wx, 4 * q_cap, 8, l8)
+         keep[:, None].astype(jnp.float32)], axis=1).reshape(-1)
+    raster = jnp.zeros((total,), jnp.float32).at[lin].set(
+        vals, mode="drop", unique_indices=True).reshape(wx, 4 * q_cap, 8, l8)
     n_dropped = (jnp.sum(mask.astype(jnp.int32))
                  - jnp.sum(keep.astype(jnp.int32)))
     return raster, n_dropped

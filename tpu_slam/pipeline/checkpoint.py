@@ -25,7 +25,8 @@ from tpu_slam.mapping.voxel_map import VoxelMap
 from tpu_slam.pipeline.odometry import OdometryState
 from tpu_slam.pipeline.slam import SLAMState
 
-_FORMAT_VERSION = 2  # v2 adds the sliding-window archive (v1 loads fine)
+_FORMAT_VERSION = 3  # v3 adds intensity/normals/loop-pair state (v1/v2
+                     # load fine; missing arrays come back zeroed/empty)
 
 
 def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
@@ -47,11 +48,18 @@ def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
         "graph_edge_mask": np.asarray(state.graph.edge_mask),
         "kf_points": np.asarray(state.kf_points),
         "kf_mask": np.asarray(state.kf_mask),
+        "kf_intensity": np.asarray(state.kf_intensity),
+        "kf_normals": np.asarray(state.kf_normals),
         "kf_desc": np.asarray(state.kf_desc),
         "last_kf_pose": np.asarray(state.last_kf_pose),
         "archived_poses": (np.stack(state.archived_poses)
                            if state.archived_poses
                            else np.zeros((0, 4, 4), np.float32)),
+        "loop_pairs": np.asarray(sorted(state.loop_pairs),
+                                 np.int32).reshape(-1, 2),
+        "tried_pairs": np.asarray(
+            [(i, j, v) for (i, j), v in sorted(state.tried_pairs.items())],
+            np.int32).reshape(-1, 3),
     }
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -105,11 +113,20 @@ def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
             sc = ScanContextParams()
             kf_desc = jnp.zeros((kf_mask.shape[0], sc.n_rings,
                                  sc.n_sectors), jnp.float32)
+        kf_points = jnp.asarray(z["kf_points"])
+        kf_intensity = (jnp.asarray(z["kf_intensity"])
+                        if "kf_intensity" in z.files
+                        else jnp.zeros(kf_mask.shape, jnp.float32))
+        kf_normals = (jnp.asarray(z["kf_normals"])
+                      if "kf_normals" in z.files
+                      else jnp.zeros(kf_points.shape, jnp.float32))
         state = SLAMState(
             odom=odom,
             graph=graph,
-            kf_points=jnp.asarray(z["kf_points"]),
+            kf_points=kf_points,
             kf_mask=kf_mask,
+            kf_intensity=kf_intensity,
+            kf_normals=kf_normals,
             kf_desc=kf_desc,
             n_keyframes=manifest["n_keyframes"],
             last_kf_pose=jnp.asarray(z["last_kf_pose"]),
@@ -117,5 +134,10 @@ def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
             archived_poses=([a for a in z["archived_poses"]]
                             if "archived_poses" in z.files else []),
             n_evictions=manifest.get("n_evictions", 0),
+            loop_pairs=({(int(i), int(j)) for i, j in z["loop_pairs"]}
+                        if "loop_pairs" in z.files else set()),
+            tried_pairs=({(int(i), int(j)): int(v)
+                          for i, j, v in z["tried_pairs"]}
+                         if "tried_pairs" in z.files else {}),
         )
     return state, manifest

@@ -40,6 +40,7 @@ class SLAMState:
     kf_points: jax.Array       # (K, P, 3) keyframe clouds (body frame)
     kf_mask: jax.Array         # (K, P)
     kf_intensity: jax.Array    # (K, P) per-point intensity (0 when absent)
+    kf_normals: jax.Array      # (K, P, 3) per-point normals (plane verify)
     kf_desc: jax.Array         # (K, R, S) scan-context descriptors
     n_keyframes: int
     last_kf_pose: jax.Array    # (4, 4) pose of the newest keyframe
@@ -57,6 +58,11 @@ class SLAMState:
     # re-verified and re-added every sweep — duplicate weight on a few
     # constraints instead of coverage along the trajectory
     loop_pairs: set = dataclasses.field(default_factory=set)
+    # (i, j) -> n_keyframes when last VERIFIED and rejected: rejected pairs
+    # sit out retry_cooldown sweeps so the per-sweep candidate budget
+    # explores fresh revisits instead of re-trying the same near-misses
+    # (r4: 80 proposals collapsed onto ~20 distinct pairs)
+    tried_pairs: dict = dataclasses.field(default_factory=dict)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "capacity"))
@@ -142,6 +148,7 @@ class SLAMSystem:
             kf_points=jnp.full((K, P, 3), PAD_COORD, jnp.float32),
             kf_mask=jnp.zeros((K, P), bool),
             kf_intensity=jnp.zeros((K, P), jnp.float32),
+            kf_normals=jnp.zeros((K, P, 3), jnp.float32),
             kf_desc=jnp.zeros((K, sc.n_rings, sc.n_sectors), jnp.float32),
             n_keyframes=0,
             last_kf_pose=jnp.eye(4, dtype=jnp.float32),
@@ -187,15 +194,20 @@ class SLAMSystem:
         pad_msk = jnp.zeros((m,) + state.kf_mask.shape[1:], bool)
         pad_int = jnp.zeros((m,) + state.kf_intensity.shape[1:], jnp.float32)
         pad_desc = jnp.zeros((m,) + state.kf_desc.shape[1:], jnp.float32)
+        pad_nrm = jnp.zeros((m,) + state.kf_normals.shape[1:], jnp.float32)
         return dataclasses.replace(
             state, graph=graph,
             kf_points=jnp.concatenate([state.kf_points[m:], pad_pts]),
             kf_mask=jnp.concatenate([state.kf_mask[m:], pad_msk]),
             kf_intensity=jnp.concatenate([state.kf_intensity[m:], pad_int]),
             kf_desc=jnp.concatenate([state.kf_desc[m:], pad_desc]),
+            kf_normals=jnp.concatenate([state.kf_normals[m:], pad_nrm]),
             n_keyframes=n - m, archived_poses=archived,
             loop_pairs={(i - m, j - m) for i, j in state.loop_pairs
                         if i >= m and j >= m},
+            tried_pairs={(i - m, j - m): v - m
+                         for (i, j), v in state.tried_pairs.items()
+                         if i >= m and j >= m},
             n_evictions=state.n_evictions + m)
 
     def _store_keyframe(self, state: SLAMState, scan_ds: PointCloud
@@ -225,6 +237,10 @@ class SLAMSystem:
         kf_points = state.kf_points.at[k].set(pts)
         kf_mask = state.kf_mask.at[k].set(msk)
         kf_intensity = state.kf_intensity.at[k].set(inten)
+        kf_normals = state.kf_normals
+        if cfg.loop.plane_verify:
+            from tpu_slam.registration.normals import estimate_normals
+            kf_normals = kf_normals.at[k].set(estimate_normals(pts, msk))
         kf_desc = state.kf_desc
         if cfg.loop.use_scan_context:
             from tpu_slam.graph.scan_context import scan_context
@@ -252,6 +268,7 @@ class SLAMSystem:
         return dataclasses.replace(state, graph=graph, kf_points=kf_points,
                                    kf_mask=kf_mask,
                                    kf_intensity=kf_intensity,
+                                   kf_normals=kf_normals,
                                    kf_desc=kf_desc,
                                    n_keyframes=k + 1,
                                    last_kf_pose=jnp.array(state.odom.pose,
@@ -266,10 +283,18 @@ class SLAMSystem:
         n = state.n_keyframes
         positions = state.graph.poses[:, :3, 3]
         ci, cj = propose_candidates(positions, n, cfg.loop)
-        # drop pairs already connected by an odometry edge or an accepted
-        # loop edge from an earlier sweep
-        keep = [(j - i) >= cfg.loop.min_index_gap
-                and (int(i), int(j)) not in state.loop_pairs
+        # drop pairs already admitted as loop edges, and pairs verified and
+        # REJECTED within the last retry_cooldown keyframes (the budget
+        # should explore fresh revisits, not re-try the same near-misses)
+        cool = cfg.loop.retry_cooldown * max(1, cfg.loop_every)
+
+        def _fresh(i, j):
+            p = (int(i), int(j))
+            if p in state.loop_pairs:
+                return False
+            return n - state.tried_pairs.get(p, -10**9) >= cool
+
+        keep = [(j - i) >= cfg.loop.min_index_gap and _fresh(i, j)
                 for i, j in zip(ci, cj)]
         keep = np.asarray(keep, bool) if len(keep) else np.zeros(0, bool)
         ci, cj = ci[keep], cj[keep]
@@ -285,7 +310,7 @@ class SLAMSystem:
                 pairs = {(int(a), int(b)) for a, b in zip(ci, cj)}
                 fresh = [(a, b) for a, b in zip(si, sj)
                          if (int(a), int(b)) not in pairs
-                         and (int(a), int(b)) not in state.loop_pairs]
+                         and _fresh(a, b)]
                 if fresh:
                     fi, fj = zip(*fresh)
                     ci = np.concatenate([ci, np.asarray(fi, np.int32)])
@@ -299,8 +324,16 @@ class SLAMSystem:
 
         res, accept = verify_candidates(
             state.kf_points, state.kf_mask, state.graph.poses, ci, cj,
-            cfg.loop)
+            cfg.loop,
+            clouds_normals=(state.kf_normals if cfg.loop.plane_verify
+                            else None))
         accept_np = np.asarray(accept)
+        # record every verified pair's outcome for the retry cooldown
+        tried = dict(state.tried_pairs)
+        for k in range(len(ci)):
+            if not accept_np[k]:
+                tried[(int(ci[k]), int(cj[k]))] = n
+        state = dataclasses.replace(state, tried_pairs=tried)
         if self.collect_loop_debug:
             from tpu_slam.core import se3 as _se3
             Ti = jnp.take(state.graph.poses, jnp.asarray(ci), axis=0)
