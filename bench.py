@@ -584,7 +584,7 @@ def bench_full_slam(n_poses=160):
             # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
             # gate rejected every true revisit (r4 diag: frac 0.73-0.92,
             # err 0.09-0.2, all rejected)
-            max_error=0.15, min_matched_fraction=0.85,
+            max_error=0.05, min_matched_fraction=0.85,
             max_correction_t=1.5, max_correction_r=0.6,
             # corr dist 2.0: the loosely-coupled drift at a lap revisit
             # (~1 m) must sit inside the verification basin

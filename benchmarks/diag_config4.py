@@ -64,7 +64,7 @@ def main(n_poses=160):
             keyframe_cloud_capacity=4096, loop_every=4,
             loop=LoopClosureParams(
                 max_distance=2.0, min_index_gap=40, max_candidates=4,
-                max_error=0.15, min_matched_fraction=0.85,
+                max_error=0.05, min_matched_fraction=0.85,
                 max_correction_t=1.5, max_correction_r=0.6,
                 icp=ICPParams(max_iterations=40, tolerance=5e-4,
                               max_corr_dist=2.0, huber_delta=0.3)),
@@ -99,8 +99,56 @@ def main(n_poses=160):
     per_kf_g = np.linalg.norm(kf_g[:, :3, 3] - gt_kf[:, :3, 3], axis=1)
     per_kf_o = np.linalg.norm(kf_o[:, :3, 3] - gt_kf[:, :3, 3], axis=1)
 
+    # --- edge-level truth check: how accurate are the measurements? -----
+    from tpu_slam.core import se3 as _se3
+    ei = np.asarray(state.graph.edge_i)
+    ej = np.asarray(state.graph.edge_j)
+    em = np.asarray(state.graph.edge_mask)
+    eT = np.asarray(state.graph.edge_T)
+    gt_kf_f = gt_kf.astype(np.float32)
+    edge_err = []
+    for e in range(len(ei)):
+        if not em[e]:
+            continue
+        i, j = int(ei[e]), int(ej[e])
+        if i >= n or j >= n:
+            continue
+        Zgt = np.linalg.inv(gt_kf_f[i]) @ gt_kf_f[j]
+        d = np.asarray(_se3.log(jnp.asarray(
+            np.linalg.inv(eT[e]) @ Zgt, np.float32)))
+        edge_err.append({"i": i, "j": j, "loop": bool(j - i > 1),
+                         "t_err": float(np.linalg.norm(d[:3])),
+                         "r_err": float(np.linalg.norm(d[3:]))})
+    loops = [e for e in edge_err if e["loop"]]
+    odo = [e for e in edge_err if not e["loop"]]
+    if loops:
+        lt = np.array([e["t_err"] for e in loops])
+        print(f"loop edges {len(loops)}: t_err med {np.median(lt):.4f} "
+              f"p90 {np.percentile(lt, 90):.4f} max {lt.max():.4f}")
+    if odo:
+        ot = np.array([e["t_err"] for e in odo])
+        print(f"odom edges {len(odo)}: t_err med {np.median(ot):.4f} "
+              f"p90 {np.percentile(ot, 90):.4f} max {ot.max():.4f}")
+
+    # --- oracle: replace loop edges with GT relatives, re-optimize ------
+    import dataclasses as _dc
+    eT_gt = eT.copy()
+    for e in range(len(ei)):
+        if em[e] and int(ej[e]) - int(ei[e]) > 1 \
+                and int(ej[e]) < n and int(ei[e]) < n:
+            eT_gt[e] = np.linalg.inv(gt_kf_f[int(ei[e])]) @ gt_kf_f[int(ej[e])]
+    g_or = _dc.replace(state.graph, edge_T=jnp.asarray(eT_gt))
+    g_or, _ = optimize_pose_graph(g_or, GraphSolveParams(
+        gn_iterations=20, cg_iterations=300, robust_delta=2.0,
+        robust_kernel="cauchy"))
+    kf_or = np.asarray(g_or.poses[:n])
+    oracle_ate = float(ate_rmse(kf_or, gt_kf, align=False))
+    print(f"ORACLE (gt loop edges) optimized ATE: {oracle_ate:.4f}")
+
     out = {
         "n_scans": n_poses, "n_keyframes": int(n),
+        "oracle_ate_m": oracle_ate,
+        "edge_err": edge_err,
         "n_loop_closures": int(state.n_loop_closures),
         "scans_per_sec": round(n_poses / dt, 2),
         "odometry_ate_m": float(ate_rmse(poses, gt, align=False)),

@@ -21,6 +21,20 @@ Layer map (TPU-native re-design of the reference's ROS layer stack):
 
 __version__ = "0.1.0"
 
+import jax  # noqa: E402
+
+# TPU XLA lowers f32 matmuls/einsums to bf16 MXU passes by default. For a
+# SLAM engine that is catastrophic in a way no single test catches: every
+# pose composition (`pose @ pred`, 6x6 graph blocks, moment einsums) loses
+# ~3e-3 relative per op, and the odometry pose's rotation determinant decays
+# ~0.25% PER SCAN (measured r5: det 0.81 after 80 scans — the scan shrinks,
+# registration biases, loop verification breaks from the scaled init). Every
+# matmul in this engine has a tiny contraction dim (K=3 point transforms,
+# K=6 graph blocks, (P,P) grams at K=3), so full-f32 costs nothing
+# measurable; the truly hot ops are Pallas kernels, which this JAX-level
+# default does not touch.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 from tpu_slam.core.pointcloud import PointCloud  # noqa: E402
 from tpu_slam.kernels.voxel_hash import VoxelGridSpec, voxel_keys, sort_by_key  # noqa: E402
 from tpu_slam.kernels.downsample import voxel_downsample  # noqa: E402

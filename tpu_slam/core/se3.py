@@ -147,6 +147,18 @@ def compose(A: jax.Array, B: jax.Array) -> jax.Array:
     return _mm(A, B)
 
 
+def orthonormalize(T: jax.Array) -> jax.Array:
+    """Project the rotation block back onto SO(3) (one polar-Newton step).
+
+    R <- R (3 I - R^T R) / 2 removes first-order scale/skew accumulated by
+    repeated float32 compositions. One step per scan keeps the rotation
+    orthonormal to ~1e-7 over arbitrarily long trajectories without an SVD.
+    """
+    R = T[:3, :3]
+    R = 0.5 * _mm(R, 3.0 * jnp.eye(3, dtype=T.dtype) - _mm(R.T, R))
+    return T.at[:3, :3].set(R)
+
+
 def from_rt(R: jax.Array, t: jax.Array) -> jax.Array:
     T = jnp.eye(4, dtype=R.dtype)
     T = T.at[:3, :3].set(R)

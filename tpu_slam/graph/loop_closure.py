@@ -51,6 +51,14 @@ class LoopClosureParams:
     # rejected); plane residuals collapse that to noise + flatness, so
     # max_error becomes a discriminative gate (calibrate to ~1e-2).
     plane_verify: bool = True
+    # Symmetric verification: ALSO register i onto j and gate on the cycle
+    # error ||log(Z_fwd @ Z_rev)||. A biased partial-overlap or aliased
+    # alignment is not mirror-consistent (r5 diag_loop_verify: good pairs
+    # cyc_t <= 0.01 m, a 4.6 m place-alias that passed every other gate
+    # showed cyc_t 0.12 m). Doubles the (vmapped, tiny-batch) verify cost.
+    symmetric_verify: bool = True
+    max_cycle_t: float = 0.05        # m
+    max_cycle_r: float = 0.03        # rad
     # Sweeps a REJECTED pair sits out before it may be re-proposed: without
     # a cooldown the same near-miss pairs burn the whole max_candidates
     # budget every sweep (r4: 3 pairs re-verified 5x each while fresh
@@ -61,6 +69,12 @@ class LoopClosureParams:
     use_scan_context: bool = True
     sc_max_distance: float = 0.22    # min-over-rotation SC distance gate
     sc_top_k: int = 3                # best matches proposed per keyframe
+    # appearance matches farther than this from the CURRENT pose estimate
+    # are place-aliases, not drift: the channel exists to bridge drift past
+    # max_distance, so the bound is a generous drift budget, not the
+    # proximity gate (r5 diag: ungated sc pairs 4.6 m apart verified as
+    # plausible-looking dm-biased constraints and folded the graph)
+    sc_max_pose_distance: float = 4.0
     sc: ScanContextParams = ScanContextParams()
 
 
@@ -124,6 +138,7 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
     if plane:
         icp_params = dataclasses.replace(icp_params, point_to_plane=True)
         tgt_nrm = jnp.take(clouds_normals, ci, axis=0)
+        src_nrm = jnp.take(clouds_normals, cj, axis=0)
 
         def one(sp, sm, tp, tm, tn, T0):
             return icp(PointCloud(points=sp, mask=sm),
@@ -132,6 +147,10 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
 
         res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, tgt_nrm,
                             init)
+        if params.symmetric_verify:
+            init_rev = jax.vmap(se3.inverse)(res.T)
+            res_rev = jax.vmap(one)(tgt_pts, tgt_msk, src_pts, src_msk,
+                                    src_nrm, init_rev)
     else:
         def one(sp, sm, tp, tm, T0):
             return icp(PointCloud(points=sp, mask=sm),
@@ -139,6 +158,10 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
                        init_T=T0, params=icp_params)
 
         res = jax.vmap(one)(src_pts, src_msk, tgt_pts, tgt_msk, init)
+        if params.symmetric_verify:
+            init_rev = jax.vmap(se3.inverse)(res.T)
+            res_rev = jax.vmap(one)(tgt_pts, tgt_msk, src_pts, src_msk,
+                                    init_rev)
     # gate on solution QUALITY (match fraction + residual) and on
     # CONSISTENCY with the current estimate, not on the step-norm
     # convergence flag: long-gap revisit pairs routinely hit the iteration
@@ -154,4 +177,11 @@ def verify_candidates(clouds_points: jax.Array, clouds_mask: jax.Array,
               & (res.error <= params.max_error)
               & (dev_t <= params.max_correction_t)
               & (dev_r <= params.max_correction_r))
+    if params.symmetric_verify:
+        cyc = jax.vmap(lambda Zf, Zr: se3.log(Zf @ Zr))(res.T, res_rev.T)
+        cyc_t = jnp.linalg.norm(cyc[:, :3], axis=1)
+        cyc_r = jnp.linalg.norm(cyc[:, 3:], axis=1)
+        accept = (accept & (cyc_t <= params.max_cycle_t)
+                  & (cyc_r <= params.max_cycle_r)
+                  & (res_rev.error <= params.max_error))
     return res, accept

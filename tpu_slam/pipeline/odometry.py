@@ -312,7 +312,9 @@ class LidarOdometry:
                 vmap, occ, field, offset = self._maybe_rebase(
                     vmap, occ, field, offset, t_local)
 
-            T = self._to_world(T, state.map_offset)  # back to world
+            # back to world + f32 composition drift guard (see
+            # odometry_dense._step_impl)
+            T = se3.orthonormalize(self._to_world(T, state.map_offset))
 
         m = ScanMetrics(
             scan_index=state.scan_index,

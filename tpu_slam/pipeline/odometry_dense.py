@@ -186,7 +186,9 @@ class DenseLidarOdometry:
                            params=cfg.ndt)
 
         accepted = res.matched_fraction >= cfg.min_accept_fraction
-        T = jnp.where(accepted, res.T, init_T)
+        # one polar-Newton step per scan: keeps the rotation orthonormal
+        # over arbitrarily long runs (f32 composition drift guard)
+        T = se3.orthonormalize(jnp.where(accepted, res.T, init_T))
         delta = se3.inverse(state.pose) @ T
 
         do_insert = accepted & (res.matched_fraction

@@ -111,7 +111,8 @@ class JitLidarOdometry:
                            params=cfg.ndt)
 
         accepted = res.matched_fraction >= cfg.min_accept_fraction
-        T = jnp.where(accepted, res.T, init_T)
+        # f32 composition drift guard (see odometry_dense._step_impl)
+        T = se3.orthonormalize(jnp.where(accepted, res.T, init_T))
         delta = se3.inverse(state.pose) @ T
 
         # conditional insertion without branching: zero the aggregates when

@@ -308,9 +308,15 @@ class SLAMSystem:
                 cfg.loop.sc_top_k)
             if si.size:
                 pairs = {(int(a), int(b)) for a, b in zip(ci, cj)}
+                pos_np = np.asarray(positions)
                 fresh = [(a, b) for a, b in zip(si, sj)
                          if (int(a), int(b)) not in pairs
-                         and _fresh(a, b)]
+                         and _fresh(a, b)
+                         # appearance matches beyond the drift budget are
+                         # place-aliases (r5 diag: ungated 4.6 m sc pairs
+                         # seeded the graph-folding cascade)
+                         and np.linalg.norm(pos_np[int(a)] - pos_np[int(b)])
+                         <= cfg.loop.sc_max_pose_distance]
                 if fresh:
                     fi, fj = zip(*fresh)
                     ci = np.concatenate([ci, np.asarray(fi, np.int32)])
