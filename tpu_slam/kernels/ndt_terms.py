@@ -196,17 +196,40 @@ def _shift_zy(x: jax.Array, dz, dy, wz8: int, sub: jax.Array) -> jax.Array:
     return jnp.where(sub == edge, b2, a2)
 
 
-def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
-                  *, q_cap: int, wy: int, wz: int, n_wx: int,
+def _terms_kernel(scal_ref, flags_ref, raster_ref, rm_ref, r0_ref, rp_ref,
+                  out_ref, *, q_cap: int, wy: int, wz: int, n_wx: int,
                   unroll_offsets: bool):
     """One x-plane of the frozen-bin NDT terms pass.
 
     scal_ref  (1, 24) SMEM: [T row-major (12), pad, gamma, maxd^2] + pad
+    flags_ref (1, Wx) SMEM: per-plane any-point flags — a plane whose
+              raster holds no valid point contributes nothing, so its
+              entire 27-neighborhood accumulation is skipped (street scans
+              leave ~30% of fine-window planes and most far-tier planes
+              empty; the kernel is VPU-bound, so skipped compute is pure
+              win while the pipeline still streams the blocks)
     raster_ref (1, 4Q, 8, L8): source-frame points of this plane's cells
     rm/r0/rp  (1, 16, 8, L8): field planes x-1, x, x+1 (edge-clamped)
     out_ref   (8, 32) SMEM: row i%8 = [H triu (21), b (6), cost, matched]
     """
     i = pl.program_id(0)
+    row0 = jax.lax.rem(i, 8)
+
+    @pl.when(flags_ref[0, i] == 0)
+    def _skip():
+        for idx in range(32):
+            out_ref[row0, idx] = 0.0
+
+    @pl.when(flags_ref[0, i] != 0)
+    def _compute():
+        _terms_plane_body(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref,
+                          out_ref, i, q_cap=q_cap, wy=wy, wz=wz,
+                          n_wx=n_wx, unroll_offsets=unroll_offsets)
+
+
+def _terms_plane_body(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
+                      i, *, q_cap: int, wy: int, wz: int, n_wx: int,
+                      unroll_offsets: bool):
     wz8 = wz // 8
     l8 = wy * wz8
     t00, t01, t02, t03 = (scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
@@ -367,6 +390,13 @@ def _terms_kernel(scal_ref, raster_ref, rm_ref, r0_ref, rp_ref, out_ref,
         out_ref[row, idx] = 0.0
 
 
+@functools.partial(jax.jit, static_argnames=("q_cap",))
+def raster_plane_flags(raster: jax.Array, q_cap: int) -> jax.Array:
+    """(Wx,) int32 any-valid-point flag per x-plane of a terms raster."""
+    w = raster[:, 3 * q_cap:4 * q_cap]
+    return jnp.any(w > 0.5, axis=(1, 2, 3)).astype(jnp.int32)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("dims", "q_cap", "interpret",
                                     "owned_planes"))
@@ -374,7 +404,8 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
                      T: jax.Array, gamma: jax.Array, max_corr_dist: float,
                      dims: Tuple[int, int, int], q_cap: int,
                      interpret: bool = False,
-                     owned_planes: Tuple[int, int] | None = None):
+                     owned_planes: Tuple[int, int] | None = None,
+                     plane_flags: jax.Array | None = None):
     """Frozen-bin NDT terms pass (Pallas).
 
     Returns (H (6,6), b (6,), cost (), matched_count ()).
@@ -392,6 +423,14 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
         jnp.stack([0.5 / jnp.asarray(gamma, jnp.float32),
                    jnp.float32(max_corr_dist) ** 2]),
         jnp.zeros((6,), jnp.float32)]).reshape(1, 24)
+    # per-plane any-point flags (one cheap reduction over the weight
+    # channels; XLA streams the raster once — ~30 us against the ~0.4 ms
+    # of skipped VPU work on typical street-scan occupancy). Callers that
+    # evaluate many passes on one frozen raster pass precomputed flags
+    # (raster_plane_flags) to hoist even that.
+    if plane_flags is None:
+        plane_flags = raster_plane_flags(raster, q_cap)
+    flags = plane_flags.reshape(1, wx)
 
     kernel = functools.partial(_terms_kernel, q_cap=q_cap, wy=wy, wz=wz,
                                n_wx=wx, unroll_offsets=not interpret)
@@ -400,6 +439,8 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
         grid=(wx,),
         in_specs=[
             pl.BlockSpec((1, 24), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, wx), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4 * q_cap, 8, l8), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, 16, 8, l8),
@@ -417,7 +458,7 @@ def ndt_terms_raster(raster: jax.Array, rows_planes: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(scal, raster, rows_planes, rows_planes, rows_planes)
+    )(scal, flags, raster, rows_planes, rows_planes, rows_planes)
 
     tot = jnp.sum(out, axis=0)                       # (32,)
     iu0, iu1 = jnp.triu_indices(6)
