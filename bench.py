@@ -550,37 +550,34 @@ def bench_ndt_register():
 # Config 4: full 6D SLAM with loop closure
 # ---------------------------------------------------------------------------
 
-def bench_full_slam(n_poses=160):
-    """Full 6D SLAM on the dense odometry engine: two laps of an office
-    loop (revisits close loops on the second lap), >=100 keyframes."""
-    import math
-
-    import jax
-    import jax.numpy as jnp
+def _config4_workload(n_poses=230):
+    """Two ring-corridor laps (see bench_full_slam): every segment of lap
+    1 is revisited in lap 2, so loop closures bracket the whole
+    trajectory and the robust graph can localize slip edges."""
     from tpu_slam.core.pointcloud import PointCloud
-    from tpu_slam.graph.loop_closure import LoopClosureParams
     from tpu_slam.ingest import synthetic as syn
+
+    world = syn.ring_corridor()
+    gt = syn.corridor_route(n_poses, step=0.6)
+    rng = np.random.default_rng(0)
+    clouds = []
+    for T in gt:
+        pts, valid = syn.simulate_vlp16_revolution(
+            world, T, n_azimuth=900, max_range=20.0, noise_std=0.02,
+            rng=rng)
+        clouds.append(PointCloud.from_points_host(pts[valid],
+                                                  capacity=16384))
+    return world, clouds, gt
+
+
+def _config4_cfg():
+    from tpu_slam.graph.loop_closure import LoopClosureParams
+    from tpu_slam.graph.pose_graph import GraphSolveParams
     from tpu_slam.pipeline.config import OdometryConfig, SLAMConfig
-    from tpu_slam.pipeline.metrics import MetricsLog, ate_rmse
-    from tpu_slam.pipeline.slam import SLAMSystem
     from tpu_slam.registration.icp import ICPParams
     from tpu_slam.registration.ndt import NDTParams
 
-    world = syn.default_office()
-    rng = np.random.default_rng(0)
-    clouds, gt = [], []
-    for k in range(n_poses):
-        a = 2 * math.pi * 2.0 * k / (n_poses - 1)      # two full laps
-        T = syn.se2_pose(2.5 * math.cos(a), 2.5 * math.sin(a),
-                         a + math.pi / 2, z=1.2)
-        pts, valid = syn.simulate_vlp16_revolution(
-            world, T, n_azimuth=900, noise_std=0.01, rng=rng)
-        clouds.append(PointCloud.from_points_host(pts[valid],
-                                                  capacity=16384))
-        gt.append(T)
-    gt = np.stack(gt)
-
-    cfg = SLAMConfig(
+    return SLAMConfig(
         odometry=OdometryConfig(scan_capacity=8192, downsample_leaf=0.25,
                                 map_leaf=0.5, map_half_extent=16.0,
                                 map_capacity=32768,
@@ -595,32 +592,44 @@ def bench_full_slam(n_poses=160):
         # odometry free-runs (re-anchor + window rebuild measured a
         # one-scan ~1 m misregistration two scans after each correction)
         reanchor_after_loop=False, rebuild_map_after_loop=False,
-        keyframe_translation=0.19, keyframe_rotation=0.12,
-        keyframe_capacity=192,
+        keyframe_translation=0.4, keyframe_rotation=0.12,
+        keyframe_capacity=288,
         keyframe_cloud_capacity=4096, loop_every=4,
         loop=LoopClosureParams(
-            # loop closure = place REVISIT: the index gap spans most of a
-            # lap (~67 keyframes), so candidates are same-spot pairs whose
-            # full-overlap ICP verifies at mse ~0.004-0.04; mid-gap
-            # partial-overlap pairs (mse ~0.1) carry dm-level bias and 40
-            # of them out-vote the odometry chain (measured on-chip)
-            max_distance=2.0, min_index_gap=40, max_candidates=4,
-            # acceptance gate calibrated to the keyframe cloud resolution:
-            # two 0.25 m-downsampled clouds of the same surface match with
-            # mean-squared residuals ~(leaf/2)^2..(2 leaf)^2; the old 0.05
-            # gate rejected every true revisit (r4 diag: frac 0.73-0.92,
-            # err 0.09-0.2, all rejected)
+            # loop closure = place REVISIT: a corridor lap is ~166
+            # keyframes, so gap >= 60 keeps candidates on the revisit
+            # segment; point-to-plane verification with the symmetric
+            # cycle gate rejects corridor-section aliases (r5)
+            max_distance=2.0, min_index_gap=60, max_candidates=6,
             max_error=0.05, min_matched_fraction=0.85,
-            max_correction_t=1.5, max_correction_r=0.6,
+            max_correction_t=2.5, max_correction_r=0.6,
             # corr dist 2.0: the loosely-coupled drift at a lap revisit
             # (~1 m) must sit inside the verification basin
             icp=ICPParams(max_iterations=40, tolerance=5e-4,
                           max_corr_dist=2.0, huber_delta=0.3)),
         edge_capacity=1024,
+        graph=GraphSolveParams(gn_iterations=12, cg_iterations=200,
+                               robust_delta=0.3, robust_kernel="cauchy"),
         # a verified same-spot revisit constraint is cm-accurate while the
         # odometry chain carries the accumulated drift — weight it above
         # the chain (the robust kernel + consistency gates bound the risk)
         loop_edge_info=400.0)
+
+
+def bench_full_slam(n_poses=230):
+    """Full 6D SLAM on the dense odometry engine: a lap of a ring-corridor
+    building floor plus a revisit segment. The straight corridor legs are
+    feature-poor along-track, so odometry honestly accumulates m-scale
+    drift over the lap (ATE ~0.8 m measured) — the workload where loop
+    closure + pose-graph optimization must earn their keep by pulling the
+    trajectory back onto the revisited geometry."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_slam.pipeline.metrics import MetricsLog, ate_rmse
+    from tpu_slam.pipeline.slam import SLAMSystem
+
+    world, clouds, gt = _config4_workload(n_poses)
+    cfg = _config4_cfg()
 
     def run_tracked(slam):
         state = slam.init_state(jnp.asarray(gt[0], jnp.float32))
@@ -644,7 +653,7 @@ def bench_full_slam(n_poses=160):
     # loop have never been optimized (loosely-coupled mode)
     from tpu_slam.graph.pose_graph import GraphSolveParams, optimize_pose_graph
     graph, _ = optimize_pose_graph(state.graph, GraphSolveParams(
-        gn_iterations=20, cg_iterations=300, robust_delta=2.0,
+        gn_iterations=30, cg_iterations=500, robust_delta=0.3,
         robust_kernel="cauchy"))
     jax.block_until_ready(graph.poses)
     dt = time.perf_counter() - t0

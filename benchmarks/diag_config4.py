@@ -27,18 +27,7 @@ def main(n_poses=160):
 
     import bench
 
-    world = syn.default_office()
-    rng = np.random.default_rng(0)
-    clouds, gt = [], []
-    for k in range(n_poses):
-        a = 2 * math.pi * 2.0 * k / (n_poses - 1)
-        T = syn.se2_pose(2.5 * math.cos(a), 2.5 * math.sin(a),
-                         a + math.pi / 2, z=1.2)
-        pts, valid = syn.simulate_vlp16_revolution(
-            world, T, n_azimuth=900, noise_std=0.01, rng=rng)
-        clouds.append(PointCloud.from_points_host(pts[valid], capacity=16384))
-        gt.append(T)
-    gt = np.stack(gt)
+    world, clouds, gt = bench._config4_workload(n_poses)
 
     cfg = bench._config4_cfg() if hasattr(bench, "_config4_cfg") else None
     if cfg is None:
@@ -144,6 +133,14 @@ def main(n_poses=160):
     kf_or = np.asarray(g_or.poses[:n])
     oracle_ate = float(ate_rmse(kf_or, gt_kf, align=False))
     print(f"ORACLE (gt loop edges) optimized ATE: {oracle_ate:.4f}")
+
+    np.savez("benchmarks/diag_config4_graph.npz",
+             poses=np.asarray(state.graph.poses),
+             n_nodes=int(state.graph.n_nodes),
+             edge_i=ei, edge_j=ej, edge_T=eT,
+             edge_info=np.asarray(state.graph.edge_info),
+             edge_mask=em, gt_kf=gt_kf, odom_poses=poses,
+             kf_scan=kf_scan)
 
     out = {
         "n_scans": n_poses, "n_keyframes": int(n),

@@ -226,3 +226,25 @@ def test_capture_workflow_end_to_end(tmp_path):
                                                        jnp.float32)))
     np.testing.assert_allclose(np.asarray(loaded.transform()), M_solved,
                                atol=1e-5)
+
+
+def test_verification_artifact(tmp_path):
+    """export_verification (r4 verdict missing #3): a correct solve scores
+    high matched_fraction, a wrong one scores visibly lower, and the
+    red/green .ply artifact round-trips."""
+    from tpu_slam.ingest.calibration import export_verification
+    from tpu_slam.utils.ply import read_ply
+
+    data = _capture_with_miscalibration(TRUE_PARAMS)
+    ply = str(tmp_path / "check.ply")
+    good = export_verification(data, TRUE_PARAMS, CFG, ply_path=ply)
+    assert good["matched_fraction"] > 0.9
+    assert good["ply_path"] == ply
+    pts, col = read_ply(ply)
+    assert pts.shape[0] == good["n_first"] + good["n_second"]
+    assert col is not None and set(map(tuple, np.unique(col, axis=0))) == {
+        (220, 40, 40), (40, 200, 40)}
+
+    bad = export_verification(
+        data, TRUE_PARAMS + np.array([0.15, 0, 0, 0.2, 0], np.float32), CFG)
+    assert bad["matched_fraction"] < good["matched_fraction"] - 0.1

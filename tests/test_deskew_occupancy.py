@@ -189,3 +189,68 @@ def test_dynamic_object_evicted_from_map():
     assert n_box_after < 0.2 * n_box_before, (n_box_before, n_box_after)
     # static structure (walls/floor) survives
     assert n_total_after > 0.6 * n_total_before
+
+
+def test_dynamic_object_evicted_from_dense_engine():
+    """Dense-engine dynamic removal (r4 verdict weak #5): the moment
+    window gets free-space evidence via grid_occupancy_update — an object
+    present in early scans then removed is cleared from the registration
+    map while static structure stays."""
+    from tpu_slam.pipeline.config import OdometryConfig
+    from tpu_slam.pipeline.odometry_dense import DenseLidarOdometry
+    from tpu_slam.registration.ndt import NDTParams
+
+    box_lo = np.array([1.5, -0.8, 0.0])
+    box_hi = np.array([2.6, 0.8, 1.4])
+    world_with = syn.make_room(size=(12.0, 9.0, 3.0),
+                               boxes=[(box_lo, box_hi)])
+    world_without = syn.make_room(size=(12.0, 9.0, 3.0))
+
+    T = np.eye(4)
+    T[:3, 3] = [-2.0, 0.0, 1.3]
+    rng = np.random.default_rng(0)
+
+    def scan(world):
+        pts, valid = syn.simulate_vlp16_revolution(
+            world, T, n_azimuth=360, noise_std=0.005, rng=rng)
+        return PointCloud.from_points(jnp.asarray(pts[valid]),
+                                      capacity=8192)
+
+    cfg = OdometryConfig(
+        scan_capacity=4096, downsample_leaf=0.25, map_leaf=0.4,
+        map_half_extent=8.0, map_capacity=16384,
+        ndt=NDTParams(max_iterations=15, window_dims=(32, 32, 16),
+                      terms_impl="pallas_interpret"),
+        pyramid_factor=2,
+        use_occupancy=True, occupancy_steps=64, occupancy_max_range=15.0,
+        occupancy_evict_below=-1.0, min_insert_fraction=0.0)
+    odo = DenseLidarOdometry(cfg)
+    state = odo.init_state(scan(world_with), jnp.asarray(T, jnp.float32))
+    state = odo.step(state, scan(world_with))
+
+    spec = cfg.map_spec()
+
+    def box_cells(grid):
+        import numpy as _np
+        wx, wy, wz = grid.dims
+        rows = _np.asarray(grid.rows)
+        occ = rows[:, 0] > 0
+        idx = _np.arange(rows.shape[0])
+        cc = _np.stack([idx // (wy * wz), (idx // wz) % wy, idx % wz], 1)
+        origin_w = (_np.asarray(spec.origin)
+                    + _np.asarray(grid.origin_cell) * spec.leaf)
+        centers = origin_w + (cc + 0.5) * spec.leaf
+        inside = ((centers > box_lo - 0.2) & (centers < box_hi + 0.2)).all(1)
+        return int(_np.sum(occ & inside)), int(_np.sum(occ))
+
+    n_box_before, n_total_before = box_cells(state.grid)
+    assert n_box_before > 10
+
+    for _ in range(10):
+        state = odo.step(state, scan(world_without))
+
+    n_box_after, n_total_after = box_cells(state.grid)
+    # a few silhouette cells survive — rays graze them without passing
+    # through (free-space sampling stops one leaf short of endpoints)
+    assert n_box_after <= 0.3 * n_box_before, (n_box_before, n_box_after)
+    assert n_total_after > 0.6 * n_total_before

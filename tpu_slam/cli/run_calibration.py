@@ -71,6 +71,14 @@ def main(argv=None):
                    default="gradient")
     p.add_argument("--out", default=None,
                    help="calibration yaml path (reference format)")
+    p.add_argument("--verify-ply", default=None,
+                   help="write the aligned half-clouds red/green as a "
+                        ".ply verification artifact (the headless analog "
+                        "of the reference's PCL red/green operator check, "
+                        "m3d_calibration_twiddle.cpp:384-424)")
+    p.add_argument("--min-matched", type=float, default=0.0,
+                   help="refuse to persist --out when the verification "
+                        "matched_fraction falls below this (0 disables)")
     p.add_argument("--up-axis", type=int, default=1)
     p.add_argument("--max-evaluations", type=int, default=300)
     add_common_args(p)
@@ -139,7 +147,20 @@ def main(argv=None):
                "params5": [float(v) for v in res.params5]}
     if true is not None:
         summary["true_params5"] = [float(v) for v in true]
+    from tpu_slam.ingest.calibration import export_verification
+    verify = export_verification(data, res.params5, cfg,
+                                 ply_path=args.verify_ply)
+    summary["verification"] = verify
+    ok = verify["matched_fraction"] >= args.min_matched
+    summary["verification_passed"] = bool(ok)
     if args.out:
+        if not ok:
+            emit(summary, args.json)
+            raise SystemExit(
+                f"verification matched_fraction "
+                f"{verify['matched_fraction']} < {args.min_matched}; "
+                f"refusing to persist {args.out} (inspect the "
+                f"--verify-ply artifact)")
         path = res.to_calibration().save(args.out)
         summary["calibration_file"] = path
     emit(summary, args.json)

@@ -384,3 +384,55 @@ def calibrate_gradient(data: CalibrationData,
     final = int(overlap_cost(data, p, cfg))
     return CalibResult(params5=np.asarray(p), cost=float(final),
                        evaluations=steps, history=history)
+
+
+def export_verification(data: CalibrationData, params5,
+                        cfg: CalibConfig = CalibConfig(),
+                        ply_path: Optional[str] = None) -> dict:
+    """Verification artifact for a calibration solve.
+
+    The reference closed its calibration loop with a human check: the PCL
+    visualizer rendered the two half-rotation clouds red/green and the
+    operator accepted with 'A' (m3d_calibration_twiddle.cpp:384-424,
+    140-164). Headless equivalent: export the aligned half-clouds as a
+    red/green .ply (any viewer opens it) plus residual statistics the
+    caller can gate on before persisting the solve.
+
+    Returns {"n_first", "n_second", "matched_fraction", "mean_nn_dist_m",
+    "outlier_count", "ply_path"}: matched_fraction is the share of
+    second-half points with a first-half neighbor within cfg.radius — a
+    good solve on overlapping geometry scores > 0.9.
+    """
+    import jax.numpy as _jnp
+
+    M = extrinsic_matrix(_jnp.asarray(params5, _jnp.float32))
+    first, second = _half_clouds(data, M, cfg)
+    spec = VoxelGridSpec.centered(leaf=cfg.leaf, half_extent=cfg.half_extent)
+    first_ds = voxel_downsample(first, spec, capacity=cfg.capacity)
+    second_ds = voxel_downsample(second, spec, capacity=cfg.capacity)
+    skeys, stgt = sort_by_key(first_ds, spec)
+    idx, dist = nearest_neighbors_hash(second_ds.points, skeys, stgt.points,
+                                       spec, k_per_cell=2)
+    m2 = np.asarray(second_ds.mask)
+    d = np.asarray(dist)
+    matched = m2 & (d <= cfg.radius)
+    n2 = max(int(m2.sum()), 1)
+    stats = {
+        "n_first": int(np.asarray(first_ds.mask).sum()),
+        "n_second": int(m2.sum()),
+        "matched_fraction": round(float(matched.sum()) / n2, 4),
+        "mean_nn_dist_m": round(float(d[matched].mean())
+                                if matched.any() else float("inf"), 4),
+        "outlier_count": int((m2 & ~matched).sum()),
+        "ply_path": None,
+    }
+    if ply_path is not None:
+        from tpu_slam.utils.ply import write_ply
+        p1 = np.asarray(first_ds.points)[np.asarray(first_ds.mask)]
+        p2 = np.asarray(second_ds.points)[m2]
+        pts = np.concatenate([p1, p2])
+        col = np.concatenate([
+            np.tile(np.array([[220, 40, 40]], np.uint8), (len(p1), 1)),
+            np.tile(np.array([[40, 200, 40]], np.uint8), (len(p2), 1))])
+        stats["ply_path"] = write_ply(ply_path, pts, col)
+    return stats

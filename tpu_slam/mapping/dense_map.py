@@ -155,7 +155,8 @@ def grid_scroll(grid: DenseMomentGrid, shift: jax.Array) -> DenseMomentGrid:
     map — spill to a sparse archive is the caller's concern).
     """
     wx, wy, wz = grid.dims
-    a = grid.rows.reshape(wx, wy, wz, 10)
+    ch = grid.rows.shape[-1]
+    a = grid.rows.reshape(wx, wy, wz, ch)
     for ax in range(3):
         s = shift[ax]
         a = jnp.roll(a, -s, axis=ax)
@@ -163,7 +164,7 @@ def grid_scroll(grid: DenseMomentGrid, shift: jax.Array) -> DenseMomentGrid:
         pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, ax)
         keep = (pos < n_ax - jnp.maximum(s, 0)) & (pos >= jnp.maximum(-s, 0))
         a = jnp.where(keep, a, 0.0)
-    return DenseMomentGrid(rows=a.reshape(-1, 10),
+    return DenseMomentGrid(rows=a.reshape(-1, ch),
                            origin_cell=grid.origin_cell + shift,
                            dims=grid.dims)
 
@@ -188,6 +189,99 @@ def grid_recenter_shift(grid: DenseMomentGrid, center_world,
                          * deadband_fraction).astype(jnp.int32), align)
     need = jnp.any(jnp.abs(err) >= limit)
     return jnp.where(need, err, 0)
+
+
+def empty_occupancy_grid(dims: Tuple[int, int, int],
+                         origin_cell) -> DenseMomentGrid:
+    """A dense log-odds layer aligned with a moment window (rows (G, 1))."""
+    wx, wy, wz = dims
+    return DenseMomentGrid(rows=jnp.zeros((wx * wy * wz, 1), jnp.float32),
+                           origin_cell=jnp.asarray(origin_cell, jnp.int32),
+                           dims=dims)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("spec", "n_steps", "max_range"))
+def grid_occupancy_update(grid: DenseMomentGrid, occ: DenseMomentGrid,
+                          origin: jax.Array, cloud: PointCloud,
+                          spec: VoxelGridSpec, n_steps: int = 64,
+                          max_range: float = 30.0, hit_odds: float = 0.85,
+                          miss_odds: float = -0.4,
+                          evict_below: float = -1.0,
+                          weight: jax.Array | float = 1.0):
+    """Dense free-space evidence + dynamic-object eviction, one dispatch.
+
+    The dense-engine port of mapping.occupancy (r4 verdict weak #5: the
+    sparse LidarOdometry had occupancy eviction; the production dense
+    engine had none). Free space is sampled along each ray at leaf/2
+    steps (regular (N, S) FMA lattice — no per-ray control flow), misses
+    scatter-add into a log-odds layer aligned with the moment window,
+    endpoints add hit evidence, and cells whose log-odds fall below
+    ``evict_below`` while holding moments get their moment rows CLEARED —
+    a moving object's stale surface leaves the registration map.
+
+    Returns (grid, occ, n_evicted). ``weight`` 0 makes the whole update a
+    no-op (the branch-free reject path of the jitted step).
+    """
+    wx, wy, wz = grid.dims
+    g = wx * wy * wz
+    pts = cloud.points
+    d = pts - origin
+    rng = jnp.linalg.norm(d, axis=1)
+    rng_c = jnp.minimum(rng, max_range)
+    valid = cloud.mask & (rng > 1e-6)
+    w = jnp.asarray(weight, jnp.float32)
+
+    origin_w = (jnp.asarray(spec.origin, jnp.float32)
+                + occ.origin_cell.astype(jnp.float32) * spec.leaf)
+    dims_f = jnp.asarray([wx, wy, wz], jnp.float32)
+
+    def window_cell(p):
+        rel = jnp.clip((p - origin_w) / spec.leaf, -1.0, dims_f)
+        cc = jnp.floor(rel).astype(jnp.int32)
+        inside = ((cc[:, 0] >= 0) & (cc[:, 0] < wx)
+                  & (cc[:, 1] >= 0) & (cc[:, 1] < wy)
+                  & (cc[:, 2] >= 0) & (cc[:, 2] < wz))
+        return (cc[:, 0] * wy + cc[:, 1]) * wz + cc[:, 2], inside
+
+    # free-space samples, stopping one leaf short of the endpoint
+    step = spec.leaf * 0.5
+    t = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) * step
+    frac_end = jnp.maximum(rng_c - spec.leaf, 0.0)
+    sample_ok = valid[:, None] & (t[None, :] < frac_end[:, None])
+    dirs = d / jnp.maximum(rng, 1e-9)[:, None]
+    samples = (origin + dirs[:, None, :] * t[None, :, None]).reshape(-1, 3)
+    scell, sin = window_cell(samples)
+    scell = jnp.where(sample_ok.reshape(-1) & sin, scell, g)
+
+    hit_ok = valid & (rng <= max_range)
+    hcell, hin = window_cell(pts)
+    hcell = jnp.where(hit_ok & hin, hcell, g)
+
+    lo = occ.rows[:, 0]
+    # misses: bounded per scan by applying the MIN of (sum of misses,
+    # one miss) — duplicate samples in a cell must not over-count
+    miss_mark = jnp.zeros((g + 1,), jnp.float32).at[scell].max(
+        jnp.ones_like(scell, jnp.float32), mode="drop")
+    hit_mark = jnp.zeros((g + 1,), jnp.float32).at[hcell].max(
+        jnp.ones_like(hcell, jnp.float32), mode="drop")
+    # endpoint evidence wins over grazing free-space samples
+    delta = jnp.where(hit_mark[:g] > 0, hit_odds,
+                      jnp.where(miss_mark[:g] > 0, miss_odds, 0.0))
+    lo = jnp.clip(lo + w * delta, -4.0, 4.0)
+
+    occupied = grid.rows[:, 0] > 0
+    evict = occupied & (lo < evict_below) & (w > 0)
+    n_evicted = jnp.sum(evict.astype(jnp.int32))
+    rows = jnp.where(evict[:, None], 0.0, grid.rows)
+    # a cleared cell restarts its evidence from neutral: without this it
+    # stays below the threshold and re-evicts every new insert forever
+    lo = jnp.where(evict, 0.0, lo)
+    return (DenseMomentGrid(rows=rows, origin_cell=grid.origin_cell,
+                            dims=grid.dims),
+            DenseMomentGrid(rows=lo[:, None], origin_cell=occ.origin_cell,
+                            dims=occ.dims),
+            n_evicted)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "factor"))

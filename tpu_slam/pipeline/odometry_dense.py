@@ -53,6 +53,16 @@ class DenseOdomState:
     scan_index: jax.Array    # () int32
     last_metrics: jax.Array  # (5,) [iterations, frac, accepted, inserted,
                              #       coarse_frac]
+    # wide coarse moment window: same cell dims at the coarse leaf, so it
+    # covers pyramid_factor x the fine window's extent. The coarse stage
+    # and the fine solve's far tier register against ITS field — distant
+    # structure (corridor end walls, far facades) that the fine window
+    # cannot hold stays in the objective. None when pyramid_factor == 1.
+    wide: Optional[DenseMomentGrid] = None
+    # dense log-odds layer aligned with the fine window (rows (G, 1));
+    # free-space evidence evicts dynamic-object cells from the moment map
+    # (config.use_occupancy). None when the feature is off.
+    occ: Optional[DenseMomentGrid] = None
 
 
 class DenseLidarOdometry:
@@ -111,11 +121,24 @@ class DenseLidarOdometry:
         c0 = centered_origin_cell(pose[:3, 3], self.map_spec, self.dims,
                                   align=self.factor)
         grid = empty_grid(self.dims, c0)
-        grid = grid_insert(grid, first_cloud.transform(pose), self.map_spec)
+        occ = None
+        if self.config.use_occupancy:
+            from tpu_slam.mapping.dense_map import empty_occupancy_grid
+            # COPY the corner before grid_insert donates `grid` (whose
+            # origin_cell shares c0's buffer)
+            occ = empty_occupancy_grid(self.dims, jnp.array(c0, copy=True))
+        world_first = first_cloud.transform(pose)
+        grid = grid_insert(grid, world_first, self.map_spec)
+        wide = None
+        if self.factor > 1:
+            c0w = centered_origin_cell(pose[:3, 3], self.coarse_spec,
+                                       self.dims, align=1)
+            wide = grid_insert(empty_grid(self.dims, c0w), world_first,
+                               self.coarse_spec)
         return DenseOdomState(
             pose=pose, last_delta=jnp.eye(4, dtype=jnp.float32), grid=grid,
             scan_index=jnp.int32(1),
-            last_metrics=jnp.zeros((5,), jnp.float32))
+            last_metrics=jnp.zeros((5,), jnp.float32), wide=wide, occ=occ)
 
     def step(self, state: DenseOdomState, cloud: PointCloud
              ) -> DenseOdomState:
@@ -165,13 +188,23 @@ class DenseLidarOdometry:
                                     align=self.factor,
                                     deadband_fraction=cfg.rebase_fraction)
         grid = grid_scroll(state.grid, shift)
+        occ = state.occ
+        if occ is not None:
+            occ = grid_scroll(occ, shift)   # stays aligned with the window
 
         # coarse pyramid capture (block-summed moments), then fine polish
         coarse_frac = jnp.float32(1.0)
         T1 = init_T
+        wide = state.wide
         if self.factor > 1:
-            cgrid = grid_coarsen(grid, self.map_spec, self.factor)
-            cfield = grid_ndt_field(cgrid, self.coarse_spec,
+            # the coarse field comes from the WIDE moment window (factor x
+            # the fine extent), not a coarsening of the fine window: the
+            # far structure it uniquely holds is the along-track anchor
+            wshift = grid_recenter_shift(wide, init_T[:3, 3],
+                                         self.coarse_spec, align=1,
+                                         deadband_fraction=cfg.rebase_fraction)
+            wide = grid_scroll(wide, wshift)
+            cfield = grid_ndt_field(wide, self.coarse_spec,
                                     min_voxel_count=cfg.ndt.min_voxel_count,
                                     evec_floor_ratio=cfg.ndt.evec_floor_ratio)
             cscan = voxel_downsample(cloud, self.coarse_scan_spec,
@@ -182,8 +215,16 @@ class DenseLidarOdometry:
         field = grid_ndt_field(grid, self.map_spec,
                                min_voxel_count=cfg.ndt.min_voxel_count,
                                evec_floor_ratio=cfg.ndt.evec_floor_ratio)
+        # far tier: scan points beyond the fine window register against
+        # the coarse pyramid field. In a corridor the end walls sit
+        # outside the +-(dims*leaf/2) fine window while being the ONLY
+        # along-track constraint — without this tier the estimate froze
+        # mid-leg for ~10 scans (a 4.4 m cliff, r5 corridor workload)
+        far_kw = {}
+        if self.factor > 1:
+            far_kw = dict(far_field=cfield, far_spec=self.coarse_spec)
         res = ndt_register(scan, field, self.map_spec, init_T=T1,
-                           params=cfg.ndt)
+                           params=cfg.ndt, **far_kw)
 
         accepted = res.matched_fraction >= cfg.min_accept_fraction
         # one polar-Newton step per scan: keeps the rotation orthonormal
@@ -194,8 +235,20 @@ class DenseLidarOdometry:
         do_insert = accepted & (res.matched_fraction
                                 >= cfg.min_insert_fraction)
         src_map = scan if cfg.insert_downsampled else cloud
-        grid = grid_insert(grid, src_map.transform(T), self.map_spec,
+        world_scan = src_map.transform(T)
+        grid = grid_insert(grid, world_scan, self.map_spec,
                            weight=do_insert.astype(jnp.float32))
+        if wide is not None:
+            wide = grid_insert(wide, world_scan, self.coarse_spec,
+                               weight=do_insert.astype(jnp.float32))
+        if occ is not None:
+            from tpu_slam.mapping.dense_map import grid_occupancy_update
+            grid, occ, _ = grid_occupancy_update(
+                grid, occ, T[:3, 3], world_scan, self.map_spec,
+                n_steps=cfg.occupancy_steps,
+                max_range=cfg.occupancy_max_range,
+                evict_below=cfg.occupancy_evict_below,
+                weight=do_insert.astype(jnp.float32))
 
         metrics = jnp.stack([
             res.iterations.astype(jnp.float32), res.matched_fraction,
@@ -203,7 +256,7 @@ class DenseLidarOdometry:
             coarse_frac])
         return DenseOdomState(pose=T, last_delta=delta, grid=grid,
                               scan_index=state.scan_index + 1,
-                              last_metrics=metrics)
+                              last_metrics=metrics, wide=wide, occ=occ)
 
     # -- host conveniences ------------------------------------------------
 

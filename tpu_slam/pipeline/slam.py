@@ -403,7 +403,15 @@ class SLAMSystem:
                     jnp.int32(n), new_pose[:3, 3],
                     spec=self.odometry.map_spec, dims=self.odometry.dims,
                     align=self.odometry.factor)
-                odom = dataclasses.replace(odom, grid=grid, pose=new_pose)
+                wide = odom.wide
+                if wide is not None:
+                    wide = _rebuild_grid_batched(
+                        graph.poses, state.kf_points, state.kf_mask,
+                        jnp.int32(n), new_pose[:3, 3],
+                        spec=self.odometry.coarse_spec,
+                        dims=self.odometry.dims, align=1)
+                odom = dataclasses.replace(odom, grid=grid, pose=new_pose,
+                                           wide=wide)
             else:
                 odom = dataclasses.replace(odom, pose=new_pose)
         elif cfg.rebuild_map_after_loop:

@@ -110,6 +110,20 @@ class NDTParams:
                                      # one pass per candidate — ~0.1 ms
                                      # each at coarse window sizes.
     yaw_span: float = 0.3            # half-range of the yaw search (rad)
+    motion_prior_weight: float = 0.0  # weak prior pulling the solve toward
+                                     # its INIT pose (the constant-velocity
+                                     # prediction): adds w*I to H and
+                                     # w*log(T init^-1) to b. In feature-
+                                     # poor corridors the NDT cost is flat
+                                     # along-track except for a 0.5 m
+                                     # cell-quantization comb, and the
+                                     # unanchored solve snaps to 'stay
+                                     # where you are' (measured r5: the
+                                     # estimate froze for ~10 scans mid-
+                                     # leg, a 4.4 m cliff). The prior
+                                     # holds the predicted velocity in
+                                     # flat directions while thousands of
+                                     # data terms dominate observable ones.
     rebin_iters: int = 4             # kernel path: re-bin the raster every
                                      # this many fine LM iterations (the
                                      # coarse stage re-bins EVERY iteration).
@@ -793,6 +807,18 @@ def ndt_register(source: PointCloud, field: NDTField, spec: VoxelGridSpec,
             def terms(T):
                 return _ndt_terms(src, T, field, spec, params, gamma,
                                   isotropic)
+
+        if params.motion_prior_weight > 0.0:
+            base_terms = terms
+            w_prior = jnp.float32(params.motion_prior_weight)
+
+            def terms(T):
+                H, b, cost, frac = base_terms(T)
+                xi_e = se3.log(se3.compose(T, se3.inverse(init_T)))
+                H = H + w_prior * jnp.eye(6, dtype=H.dtype)
+                b = b + w_prior * xi_e
+                cost = cost + 0.5 * w_prior * jnp.sum(xi_e * xi_e)
+                return H, b, cost, frac
 
         H0, b0, cost0, frac0 = terms(T0)
 
