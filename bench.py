@@ -558,7 +558,7 @@ def _config4_workload(n_poses=230):
     from tpu_slam.ingest import synthetic as syn
 
     world = syn.ring_corridor()
-    gt = syn.corridor_route(n_poses, step=0.6)
+    gt = syn.corridor_route(n_poses, step=0.6, speed_var=0.35)
     rng = np.random.default_rng(0)
     clouds = []
     for T in gt:
@@ -579,13 +579,20 @@ def _config4_cfg():
 
     return SLAMConfig(
         odometry=OdometryConfig(scan_capacity=8192, downsample_leaf=0.25,
-                                map_leaf=0.5, map_half_extent=16.0,
+                                map_leaf=0.5, map_half_extent=32.0,
                                 map_capacity=32768,
                                 insert_downsampled=True,
+                                # (32,32,16): fine +-8 m / wide +-16 m —
+                                # the corridor end walls sit at the wide
+                                # window's edge, so odometry accumulates
+                                # an honest smooth ~0.7 m lap drift that
+                                # the graph must pull out; (48,48,16)
+                                # anchors them fully and drifts only
+                                # 0.1 m (measured r5)
                                 ndt=NDTParams(max_iterations=12,
                                               coarse_iterations=2,
                                               min_voxel_count=3.0,
-                                              window_dims=(48, 48, 16)),
+                                              window_dims=(32, 32, 16)),
                                 pyramid_factor=2),
         odometry_engine="dense",
         # loosely coupled: the graph maintains the optimized trajectory;
@@ -609,7 +616,8 @@ def _config4_cfg():
                           max_corr_dist=2.0, huber_delta=0.3)),
         edge_capacity=1024,
         graph=GraphSolveParams(gn_iterations=12, cg_iterations=200,
-                               robust_delta=0.3, robust_kernel="cauchy"),
+                               robust_delta=0.3, robust_kernel="cauchy",
+                               trust_loops=True),
         # a verified same-spot revisit constraint is cm-accurate while the
         # odometry chain carries the accumulated drift — weight it above
         # the chain (the robust kernel + consistency gates bound the risk)
@@ -654,7 +662,7 @@ def bench_full_slam(n_poses=230):
     from tpu_slam.graph.pose_graph import GraphSolveParams, optimize_pose_graph
     graph, _ = optimize_pose_graph(state.graph, GraphSolveParams(
         gn_iterations=30, cg_iterations=500, robust_delta=0.3,
-        robust_kernel="cauchy"))
+        robust_kernel="cauchy", trust_loops=True))
     jax.block_until_ready(graph.poses)
     dt = time.perf_counter() - t0
     odom_ate = ate_rmse(poses, gt, align=False)

@@ -364,3 +364,60 @@ def test_sharded_pallas_tier_matches_single_chip_kernel():
     err = se3.log(se3.compose(se3.inverse(se3.exp(xi_true)), res8.T))
     assert float(jnp.linalg.norm(err[:3])) < 0.06
     assert float(jnp.linalg.norm(err[3:])) < 0.03
+
+
+def test_sharded_dense_engine_matches_single_chip():
+    """The PRODUCTION dense moment-window engine, sharded (r4 verdict
+    missing #4): dense_step_sharded (x-chunk moments + ppermute'd field
+    halo + psum'd kernel terms + local inserts) must track the
+    single-chip DenseLidarOdometry pose to 1e-4 over several steps."""
+    import dataclasses as _dc
+
+    from tpu_slam.distributed.dense_shard import dense_step_sharded
+    from tpu_slam.kernels.downsample import voxel_downsample
+    from tpu_slam.pipeline.config import OdometryConfig
+    from tpu_slam.pipeline.odometry_dense import DenseLidarOdometry
+
+    mesh = _mesh()
+    world = syn.default_office()
+    n_steps = 3
+    rng = np.random.default_rng(0)
+    clouds, gt = [], []
+    for k in range(n_steps + 1):
+        T = syn.se2_pose(0.3 * k - 0.4, 0.05 * k, 0.06 * k, z=1.2)
+        pts, valid = syn.simulate_vlp16_revolution(
+            world, T, n_azimuth=360, noise_std=0.005, rng=rng)
+        clouds.append(PointCloud.from_points_host(pts[valid],
+                                                  capacity=8192))
+        gt.append(np.asarray(T, np.float32))
+
+    dims = (64, 64, 16)
+    params = NDTParams(max_iterations=6, coarse_iterations=0,
+                       min_voxel_count=3.0, window_dims=dims,
+                       terms_impl="pallas_interpret", rebin_iters=3)
+    cfg = OdometryConfig(scan_capacity=4096, downsample_leaf=0.25,
+                         map_leaf=0.4, map_half_extent=16.0,
+                         insert_downsampled=True, deskew=False,
+                         scan_max_range=0.0, min_insert_fraction=0.3,
+                         ndt=params, pyramid_factor=1,
+                         rebase_fraction=10.0)   # deadband: never scroll
+    od = DenseLidarOdometry(cfg)
+    state = od.init_state(clouds[0], jnp.asarray(gt[0]))
+
+    spec = cfg.map_spec()
+    rows = jnp.array(state.grid.rows, copy=True)
+    oc = jnp.array(state.grid.origin_cell, copy=True)
+    pose = jnp.asarray(gt[0])
+    delta = jnp.eye(4, dtype=jnp.float32)
+
+    for k in range(1, n_steps + 1):
+        scan = voxel_downsample(clouds[k], od.scan_spec,
+                                capacity=cfg.scan_capacity)
+        rows, pose, delta, metrics = dense_step_sharded(
+            mesh, rows, oc, pose, delta, scan, spec, dims, params=params)
+        state = od.step(state, clouds[k])
+        np.testing.assert_allclose(np.asarray(pose),
+                                   np.asarray(state.pose), atol=1e-4)
+    # both ends tracked the ground truth too
+    err = np.linalg.norm(np.asarray(pose)[:3, 3] - gt[n_steps][:3, 3])
+    assert err < 0.05, err

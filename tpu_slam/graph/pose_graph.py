@@ -101,6 +101,20 @@ class GraphSolveParams:
                                    # before rejection tightens; the fixed
                                    # redescending kernel recovers better
                                    # from a drifted init
+    trust_loops: bool = False      # exempt loop edges (j - i > 1) from the
+                                   # robust weight. At a drifted init a
+                                   # CORRECT loop edge carries the whole
+                                   # accumulated-drift residual while the
+                                   # odometry edges (which built the init)
+                                   # carry none — a tight kernel then
+                                   # rejects exactly the edges that could
+                                   # fix the trajectory (r5 diag: oracle
+                                   # GT loop edges left ATE unchanged).
+                                   # Enable when loops are geometrically
+                                   # verified upstream (the symmetric
+                                   # cycle gate of graph.loop_closure);
+                                   # the robust weight then localizes
+                                   # odometry slips instead.
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +167,8 @@ def _build_rhs_and_diag(graph: PoseGraph, params: GraphSolveParams,
             w = jnp.where(chi <= d, 1.0, d / chi)
         else:  # cauchy (redescending)
             w = 1.0 / (1.0 + (chi / d) ** 2)
+        if params.trust_loops:
+            w = jnp.where(graph.edge_j - graph.edge_i > 1, 1.0, w)
         info = info * w[:, None, None]
     WJ = jnp.einsum("eab,ebc->eac", info, Jj)         # (E, 6, 6)
     Wr = jnp.einsum("eab,eb->ea", info, r)            # (E, 6)

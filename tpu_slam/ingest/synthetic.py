@@ -246,12 +246,16 @@ def ring_corridor(outer: Tuple[float, float, float] = (30.0, 22.0, 3.0),
 
 def corridor_route(n_poses: int, step: float = 0.45,
                    half: Tuple[float, float] = (12.0, 8.0),
-                   corner_r: float = 3.0, z: float = 1.2) -> np.ndarray:
+                   corner_r: float = 3.0, z: float = 1.2,
+                   speed_var: float = 0.0) -> np.ndarray:
     """(N, 4, 4) poses along the ring-corridor centerline, arc corners.
 
     The rounded-rectangle centerline at x = +-half[0], y = +-half[1];
     heading follows the direction of travel (counter-clockwise, starting
-    on the south leg heading east).
+    on the south leg heading east). ``speed_var`` sinusoidally modulates
+    the per-scan step by +-that fraction (a platform does not move at
+    perfectly constant speed; the constant-velocity prediction then
+    carries honest error into observability-poor corridor stretches).
     """
     hx, hy = half
     r = corner_r
@@ -259,8 +263,14 @@ def corridor_route(n_poses: int, step: float = 0.45,
     qa = math.pi / 2 * r                     # corner arc length
     per = 2 * lx + 2 * ly + 4 * qa
     poses = []
+    s_acc = 0.0
     for k in range(n_poses):
-        s = (step * k) % per
+        if speed_var > 0.0 and k > 0:
+            s_acc += step * (1.0 + speed_var * math.sin(2 * math.pi * k
+                                                        / 23.0))
+        elif k > 0:
+            s_acc += step
+        s = s_acc % per
         if s < lx:                                       # south leg, east
             poses.append(se2_pose(-hx + r + s, -hy, 0.0, z=z))
             continue
