@@ -234,3 +234,58 @@ def test_rebuild_map_batched_matches_sequential():
     os_ = np.argsort(np.asarray(seq.keys), kind="stable")
     np.testing.assert_allclose(np.asarray(batched.count)[ob],
                                np.asarray(seq.count)[os_], rtol=1e-5)
+
+
+def test_checkpoint_resume_dense_engine(tmp_path):
+    """Checkpoint/resume of a DENSE-engine SLAM state (r5: the v3 format
+    only knew the sparse voxel map): save mid-run, resume, and the
+    resumed run's poses must match the uninterrupted run exactly."""
+    import dataclasses as _dc
+
+    from tpu_slam.graph.loop_closure import LoopClosureParams
+    from tpu_slam.pipeline.config import OdometryConfig, SLAMConfig
+    from tpu_slam.pipeline.slam import SLAMSystem
+    from tpu_slam.registration.ndt import NDTParams
+
+    world = syn.default_office()
+    rng = np.random.default_rng(3)
+    clouds = []
+    for k in range(6):
+        T = syn.se2_pose(0.25 * k - 0.5, 0.0, 0.05 * k, z=1.2)
+        pts, valid = syn.simulate_vlp16_revolution(
+            world, T, n_azimuth=360, noise_std=0.005, rng=rng)
+        clouds.append(PointCloud.from_points_host(pts[valid],
+                                                  capacity=8192))
+
+    cfg = SLAMConfig(
+        odometry=OdometryConfig(
+            scan_capacity=4096, downsample_leaf=0.25, map_leaf=0.4,
+            map_half_extent=16.0, insert_downsampled=True,
+            ndt=NDTParams(max_iterations=6, window_dims=(32, 32, 16),
+                          terms_impl="pallas_interpret"),
+            pyramid_factor=2),
+        odometry_engine="dense",
+        keyframe_translation=0.2, keyframe_capacity=16,
+        keyframe_cloud_capacity=2048, loop_every=100, edge_capacity=32)
+    slam = SLAMSystem(cfg)
+    state = slam.init_state(jnp.eye(4))
+    for c in clouds[:3]:
+        state, _ = slam.step(state, c)
+    path = str(tmp_path / "dense_ckpt.npz")
+    save_checkpoint(path, state)
+
+    # uninterrupted continuation
+    cont = state
+    for c in clouds[3:]:
+        cont, _ = slam.step(cont, c)
+    # resumed continuation
+    slam2 = SLAMSystem(cfg)
+    resumed, manifest = load_checkpoint(path)
+    assert manifest["format_version"] >= 3
+    for c in clouds[3:]:
+        resumed, _ = slam2.step(resumed, c)
+
+    np.testing.assert_allclose(np.asarray(resumed.odom.pose),
+                               np.asarray(cont.odom.pose), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resumed.odom.grid.rows),
+                               np.asarray(cont.odom.grid.rows), atol=1e-5)

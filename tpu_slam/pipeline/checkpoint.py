@@ -30,16 +30,42 @@ _FORMAT_VERSION = 3  # v3 adds intensity/normals/loop-pair state (v1/v2
 
 
 def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
-    """Write the SLAM state to ``path`` (.npz). Returns the path written."""
+    """Write the SLAM state to ``path`` (.npz). Returns the path written.
+
+    Both odometry engines are supported: the sparse ``OdometryState``
+    (voxel-map arrays) and the dense ``DenseOdomState`` (moment-window
+    rows + origin, plus the wide coarse window and the occupancy layer
+    when present).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {
-        "odom_pose": np.asarray(state.odom.pose),
-        "odom_last_delta": np.asarray(state.odom.last_delta),
-        "map_keys": np.asarray(state.odom.vmap.keys),
-        "map_count": np.asarray(state.odom.vmap.count),
-        "map_sum_pts": np.asarray(state.odom.vmap.sum_pts),
-        "map_sum_outer": np.asarray(state.odom.vmap.sum_outer),
-        "map_stamp": np.asarray(state.odom.vmap.stamp),
+    dense = hasattr(state.odom, "grid")
+    if dense:
+        arrays = {
+            "odom_pose": np.asarray(state.odom.pose),
+            "odom_last_delta": np.asarray(state.odom.last_delta),
+            "dense_rows": np.asarray(state.odom.grid.rows),
+            "dense_origin_cell": np.asarray(state.odom.grid.origin_cell),
+            "dense_dims": np.asarray(state.odom.grid.dims, np.int32),
+        }
+        if state.odom.wide is not None:
+            arrays["dense_wide_rows"] = np.asarray(state.odom.wide.rows)
+            arrays["dense_wide_origin_cell"] = np.asarray(
+                state.odom.wide.origin_cell)
+        if state.odom.occ is not None:
+            arrays["dense_occ_rows"] = np.asarray(state.odom.occ.rows)
+            arrays["dense_occ_origin_cell"] = np.asarray(
+                state.odom.occ.origin_cell)
+    else:
+        arrays = {
+            "odom_pose": np.asarray(state.odom.pose),
+            "odom_last_delta": np.asarray(state.odom.last_delta),
+            "map_keys": np.asarray(state.odom.vmap.keys),
+            "map_count": np.asarray(state.odom.vmap.count),
+            "map_sum_pts": np.asarray(state.odom.vmap.sum_pts),
+            "map_sum_outer": np.asarray(state.odom.vmap.sum_outer),
+            "map_stamp": np.asarray(state.odom.vmap.stamp),
+        }
+    arrays.update({
         "graph_poses": np.asarray(state.graph.poses),
         "graph_edge_i": np.asarray(state.graph.edge_i),
         "graph_edge_j": np.asarray(state.graph.edge_j),
@@ -60,7 +86,7 @@ def save_checkpoint(path: str, state: SLAMState, scan_index: int = -1) -> str:
         "tried_pairs": np.asarray(
             [(i, j, v) for (i, j), v in sorted(state.tried_pairs.items())],
             np.int32).reshape(-1, 3),
-    }
+    })
     manifest = {
         "format_version": _FORMAT_VERSION,
         "scan_index": int(state.odom.scan_index
@@ -83,19 +109,42 @@ def load_checkpoint(path: str) -> Tuple[SLAMState, dict]:
             raise ValueError(
                 f"checkpoint format {manifest['format_version']} "
                 f"!= supported {_FORMAT_VERSION}")
-        vmap = VoxelMap(
-            keys=jnp.asarray(z["map_keys"]),
-            count=jnp.asarray(z["map_count"]),
-            sum_pts=jnp.asarray(z["map_sum_pts"]),
-            sum_outer=jnp.asarray(z["map_sum_outer"]),
-            stamp=jnp.asarray(z["map_stamp"]),
-        )
-        odom = OdometryState(
-            pose=jnp.asarray(z["odom_pose"]),
-            last_delta=jnp.asarray(z["odom_last_delta"]),
-            vmap=vmap,
-            scan_index=manifest["odom_scan_index"],
-        )
+        if "dense_rows" in z.files:
+            from tpu_slam.mapping.dense_map import DenseMomentGrid
+            from tpu_slam.pipeline.odometry_dense import DenseOdomState
+            dims = tuple(int(v) for v in z["dense_dims"])
+
+            def _grid(prefix):
+                if f"{prefix}_rows" not in z.files:
+                    return None
+                return DenseMomentGrid(
+                    rows=jnp.asarray(z[f"{prefix}_rows"]),
+                    origin_cell=jnp.asarray(z[f"{prefix}_origin_cell"]),
+                    dims=dims)
+
+            odom = DenseOdomState(
+                pose=jnp.asarray(z["odom_pose"]),
+                last_delta=jnp.asarray(z["odom_last_delta"]),
+                grid=_grid("dense"),
+                scan_index=jnp.int32(manifest["odom_scan_index"]),
+                last_metrics=jnp.zeros((5,), jnp.float32),
+                wide=_grid("dense_wide"),
+                occ=_grid("dense_occ"),
+            )
+        else:
+            vmap = VoxelMap(
+                keys=jnp.asarray(z["map_keys"]),
+                count=jnp.asarray(z["map_count"]),
+                sum_pts=jnp.asarray(z["map_sum_pts"]),
+                sum_outer=jnp.asarray(z["map_sum_outer"]),
+                stamp=jnp.asarray(z["map_stamp"]),
+            )
+            odom = OdometryState(
+                pose=jnp.asarray(z["odom_pose"]),
+                last_delta=jnp.asarray(z["odom_last_delta"]),
+                vmap=vmap,
+                scan_index=manifest["odom_scan_index"],
+            )
         graph = PoseGraph(
             poses=jnp.asarray(z["graph_poses"]),
             n_nodes=jnp.int32(manifest["n_nodes"]),
