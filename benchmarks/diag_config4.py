@@ -78,8 +78,8 @@ def main(n_poses=160):
     # raw (pre-final-optimize) keyframe poses vs gt
     kf_g = np.asarray(state.graph.poses[:n])
     graph, chi = optimize_pose_graph(state.graph, GraphSolveParams(
-        gn_iterations=20, cg_iterations=300, robust_delta=2.0,
-        robust_kernel="cauchy"))
+        gn_iterations=40, cg_iterations=800, robust_delta=0.15,
+        robust_kernel="cauchy", trust_loops=True))
     kf_o = np.asarray(graph.poses[:n])
 
     gt_kf = gt[kf_scan[:n]]
@@ -128,8 +128,8 @@ def main(n_poses=160):
             eT_gt[e] = np.linalg.inv(gt_kf_f[int(ei[e])]) @ gt_kf_f[int(ej[e])]
     g_or = _dc.replace(state.graph, edge_T=jnp.asarray(eT_gt))
     g_or, _ = optimize_pose_graph(g_or, GraphSolveParams(
-        gn_iterations=20, cg_iterations=300, robust_delta=2.0,
-        robust_kernel="cauchy"))
+        gn_iterations=40, cg_iterations=800, robust_delta=0.15,
+        robust_kernel="cauchy", trust_loops=True))
     kf_or = np.asarray(g_or.poses[:n])
     oracle_ate = float(ate_rmse(kf_or, gt_kf, align=False))
     print(f"ORACLE (gt loop edges) optimized ATE: {oracle_ate:.4f}")

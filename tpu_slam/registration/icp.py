@@ -246,3 +246,24 @@ def icp_raster(source: PointCloud, target: PointCloud,
     return ICPResult(T=T, iterations=iters, error=err,
                      matched_fraction=frac,
                      converged=dx <= params.tolerance)
+
+
+def icp_auto(source: PointCloud, target: PointCloud,
+             init_T: Optional[jax.Array] = None,
+             params: ICPParams = ICPParams(),
+             crossover: int = 12288, **raster_kwargs) -> ICPResult:
+    """Size-routed pair ICP: brute-force under ``crossover`` points,
+    the fused raster kernel above it.
+
+    The brute tier's cost is O(N^2) per iteration (one MXU distance
+    matrix), the raster tier's is ~O(N + G) per solve — measured on a
+    v5e (r5): 8k points brute 223/s vs raster 184/s, 16k brute 44/s vs
+    raster 102/s, 32k brute 8.9/s vs raster 53/s. The capacity is
+    static, so the routing is a trace-time branch (no runtime cost).
+    ``raster_kwargs`` (dims/leaf/origin_world/axis_perm) configure the
+    raster tier; see icp_raster.
+    """
+    if source.capacity < crossover:
+        return icp(source, target, init_T=init_T, params=params)
+    return icp_raster(source, target, init_T=init_T, params=params,
+                      **raster_kwargs)
