@@ -86,6 +86,39 @@ def _outdoor_scans(n_poses, n_azimuth=4096, radius=26.0, step=1.0,
     return clouds, np.stack(gt)
 
 
+def _city_route(n_poses, step=1.6, turn_radius=8.0):
+    """The city street route: two legs joined by a quarter-circle corner.
+
+    Streets run along x,y = -100 + 24i (dense_city block pitch); the
+    route drives east along y=-4, arcs left at the (-4,-4) intersection,
+    then north along x=-4.
+    """
+    import math
+
+    r = turn_radius
+    n_arc = max(1, int(round((math.pi / 2) * r / step)))
+    n1 = max(2, (n_poses - n_arc) // 2)
+    poses = []
+    for k in range(n_poses):
+        s = step * k                       # arc length along the route
+        s1 = step * (n1 - 1)               # end of leg 1
+        s2 = s1 + (math.pi / 2) * r        # end of the corner arc
+        if s <= s1:
+            poses.append(syn_se2(-4.0 - r - (s1 - s), -4.0, 0.0))
+        elif s <= s2:
+            th = (s - s1) / r              # 0..pi/2 swept heading
+            poses.append(syn_se2(-4.0 - r + r * math.sin(th),
+                                 -4.0 + r * (1.0 - math.cos(th)), th))
+        else:
+            poses.append(syn_se2(-4.0, -4.0 + r + (s - s2), math.pi / 2))
+    return poses
+
+
+def syn_se2(x, y, yaw):
+    from tpu_slam.ingest import synthetic as syn
+    return syn.se2_pose(x, y, yaw, z=1.8)
+
+
 def _city_scans(n_poses, n_azimuth=4096, step=1.6, max_range=75.0, seed=0,
                 turn_radius=8.0):
     """VLP-16 revolutions along a street route through the dense grid-city.
@@ -107,27 +140,7 @@ def _city_scans(n_poses, n_azimuth=4096, step=1.6, max_range=75.0, seed=0,
 
     world = syn.dense_city(extent=200.0, seed=0)
     rng = np.random.default_rng(seed)
-    # Streets run along x,y = -100 + 24i (dense_city block pitch); the
-    # route drives east along y=-4, arcs left at the (-4,-4) intersection,
-    # then north along x=-4.
-    r = turn_radius
-    n_arc = max(1, int(round((math.pi / 2) * r / step)))
-    n1 = max(2, (n_poses - n_arc) // 2)
-    poses = []
-    for k in range(n_poses):
-        s = step * k                       # arc length along the route
-        s1 = step * (n1 - 1)               # end of leg 1
-        s2 = s1 + (math.pi / 2) * r        # end of the corner arc
-        if s <= s1:
-            poses.append(syn.se2_pose(-4.0 - r - (s1 - s), -4.0, 0.0, z=1.8))
-        elif s <= s2:
-            th = (s - s1) / r              # 0..pi/2 swept heading
-            poses.append(syn.se2_pose(-4.0 - r + r * math.sin(th),
-                                      -4.0 + r * (1.0 - math.cos(th)),
-                                      th, z=1.8))
-        else:
-            poses.append(syn.se2_pose(-4.0, -4.0 + r + (s - s2),
-                                      math.pi / 2, z=1.8))
+    poses = _city_route(n_poses, step=step, turn_radius=turn_radius)
     clouds = []
     for T in poses:
         pts, valid = syn.simulate_vlp16_revolution(
@@ -808,11 +821,15 @@ def bench_multichip(reps=5):
 # Config 6: offline replay — VLP-16 packets -> pcap -> rosbag -> CLI
 # ---------------------------------------------------------------------------
 
-def bench_bag_replay(n_scans=6):
-    """The reference's replay workflow wall-to-wall, ROS-free: synthesize
-    VLP-16 packets, write a pcap, assemble revolutions, write a rosbag
-    (PointCloud2 + TF ground truth), then ONE command — the run_odometry
-    CLI with --bag — produces a trajectory and its ATE."""
+def bench_bag_replay(n_scans=25):  # one extra: the packet stream loses a partial rev at the end
+    """The reference's replay workflow wall-to-wall, ROS-free, at the
+    CITY workload (the same dense_city + arc-corner route and 65,536
+    rays/scan as config 2 — r4 verdict next #7 scaled this up from a
+    6-scan office toy): synthesize VLP-16 packets, write a pcap,
+    assemble revolutions, write a rosbag (PointCloud2 + TF ground
+    truth), then ONE command — the run_odometry CLI with --bag and the
+    production dense engine — produces a trajectory, its ATE, and the
+    measured wall-clock replay rate."""
     import contextlib
     import io
     import json as _json
@@ -825,9 +842,10 @@ def bench_bag_replay(n_scans=6):
     from tpu_slam.ingest import synthetic as syn
     from tpu_slam.ingest import velodyne as vlp
 
-    world = syn.default_office()
+    world = syn.dense_city(extent=200.0, seed=0)
+    route = _city_route(n_scans)           # the config-2 arc route
     el = np.radians(vlp.VLP16_ELEVATIONS_DEG)          # (16,)
-    n_az = 720
+    n_az = 4096                                        # 65,536 rays/scan
     az = np.arange(n_az) * (360.0 / n_az)              # deg, one revolution
     az_r = np.radians(az)[:, None]
     dirs = np.stack([np.cos(el)[None, :] * np.cos(az_r),
@@ -838,13 +856,11 @@ def bench_bag_replay(n_scans=6):
     tmp = tempfile.mkdtemp(prefix="tpu_slam_bag_bench_")
     all_pkts, pkt_times, gts = [], [], []
     for k in range(n_scans):
-        a = 2 * math.pi * 0.18 * k / max(n_scans - 1, 1)
-        T = syn.se2_pose(2.5 * math.cos(a), 2.5 * math.sin(a),
-                         a + math.pi / 2, z=1.2)
+        T = route[k]
         dirs_w = dirs.reshape(-1, 3) @ T[:3, :3].T
         origins = np.broadcast_to(T[:3, 3], dirs_w.shape)
-        r = world.raycast(origins, dirs_w, 40.0).reshape(n_az, 16)
-        r = np.where(np.isfinite(r), r + rng.normal(0, 0.005, r.shape), 0.0)
+        r = world.raycast(origins, dirs_w, 75.0).reshape(n_az, 16)
+        r = np.where(np.isfinite(r), r + rng.normal(0, 0.01, r.shape), 0.0)
         pkts = vlp.encode_packets(az, r, start_time_s=100.0 + k)
         all_pkts.append(pkts)
         pkt_times.append(100.0 + k
@@ -878,24 +894,43 @@ def bench_bag_replay(n_scans=6):
             w.write("/velodyne_points", "sensor_msgs/PointCloud2",
                     rb.serialize_pointcloud2(rev.points, t, "velodyne"), t)
 
-    # ONE command: the CLI replays the bag and reports ATE
+    # ONE command: the CLI replays the bag on the production dense
+    # engine (config-2's settings) and reports ATE; wall-clock includes
+    # the whole ingest stack (bag -> dataset conversion + replay)
     from tpu_slam.cli.run_odometry import main as run_odo
     buf = io.StringIO()
+    t0 = time.perf_counter()
     with contextlib.redirect_stdout(buf):
         run_odo(["--bag", bag_path, "--bag-gt-frame", "odom", "--json",
-                 "--input-capacity", "16384",
-                 "--set", "scan_capacity=8192",
-                 "--set", "downsample_leaf=0.25",
-                 "--set", "map_half_extent=16.0",
-                 "--set", "map_capacity=32768",
-                 "--set", "ndt.max_iterations=15"])
+                 "--engine", "dense",
+                 "--input-capacity", "65536",
+                 "--set", "scan_capacity=32768",
+                 "--set", "downsample_leaf=0.3",
+                 "--set", "map_leaf=0.5",
+                 "--set", "map_half_extent=128.0",
+                 "--set", "map_capacity=262144",
+                 "--set", "scan_max_range=45.0",
+                 "--set", "insert_downsampled=true",
+                 "--set", "ndt.max_iterations=10",
+                 "--set", "ndt.coarse_iterations=2",
+                 "--set", "ndt.tolerance=3e-4",
+                 "--set", "ndt.min_voxel_count=3.0",
+                 "--set", "ndt.window_dims=192,192,32",
+                 "--set", "pyramid_factor=4",
+                 "--set", "max_pred_translation=2.0"])
+    wall = time.perf_counter() - t0
     rec = _json.loads(buf.getvalue().strip().splitlines()[-1])
-    _log(f"config6 bag replay: {len(revs)} revolutions from pcap, "
-         f"ate={rec.get('ate_rmse_m', float('nan')):.3f} m, "
-         f"{rec['n_scans']} scans via run_odometry --bag ({bag_path})")
+    _log(f"config6 bag replay (city workload): {len(revs)} revolutions "
+         f"from pcap, ate={rec.get('ate_rmse_m', float('nan')):.3f} m, "
+         f"{rec['n_scans']} scans in {wall:.1f} s "
+         f"({rec['n_scans'] / wall:.2f} scans/s wall incl. bag convert + "
+         f"compile) via run_odometry --bag --engine dense")
     return {"n_scans": rec["n_scans"],
             "ate_m": round(float(rec.get("ate_rmse_m", -1.0)), 4),
             "rpe_trans_m": round(float(rec.get("rpe_trans_m", -1.0)), 4),
+            "wall_s": round(wall, 1),
+            "scans_per_sec_wall": round(rec["n_scans"] / wall, 2),
+            "raw_rays_per_scan": 65536,
             "source": "vlp16 packets -> pcap -> rosbag -> run_odometry"}
 
 

@@ -32,6 +32,14 @@ def _parse_value(raw: str, current: Any) -> Any:
         return int(raw)
     if isinstance(current, float):
         return float(raw)
+    if isinstance(current, tuple) or (current is None and "," in raw):
+        # e.g. ndt.window_dims=48,48,16 (the dense-engine window shape)
+        def conv(p):
+            try:
+                return int(p)
+            except ValueError:
+                return float(p)
+        return tuple(conv(p) for p in raw.split(","))
     return raw
 
 

@@ -34,6 +34,11 @@ def main(argv=None):
                    help="TF parent frame to attach as ground truth")
     p.add_argument("--out", default=None, help="trajectory output .npz")
     p.add_argument("--input-capacity", type=int, default=32768)
+    p.add_argument("--engine", choices=["sparse", "dense"],
+                   default="sparse",
+                   help="odometry engine: 'dense' is the production "
+                        "moment-window engine (one donated dispatch per "
+                        "scan; requires --set ndt.window_dims=Wx,Wy,Wz)")
     add_common_args(p)
     args = p.parse_args(argv)
 
@@ -47,7 +52,11 @@ def main(argv=None):
                                  cloud_topic=args.bag_topic,
                                  gt_frame=args.bag_gt_frame)
     reader = DatasetReader(dataset)
-    odo = LidarOdometry(cfg)
+    if args.engine == "dense":
+        from tpu_slam.pipeline.odometry_dense import DenseLidarOdometry
+        odo = DenseLidarOdometry(cfg)
+    else:
+        odo = LidarOdometry(cfg)
 
     gt = reader.gt_poses()
     init = jnp.asarray(gt[0], jnp.float32) if gt is not None else None
