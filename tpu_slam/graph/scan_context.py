@@ -121,7 +121,12 @@ def propose_sc_candidates(query_desc: jax.Array, db_desc: jax.Array,
 
     if query_idx < min_index_gap + 1:
         return (np.zeros((0,), np.int32), np.zeros((0,), np.int32))
-    d = np.array(sc_distance(query_desc, db_desc[:n_nodes]))
+    # score the FULL (static-shape) database and mask on host: a
+    # db_desc[:n_nodes] dynamic slice recompiled sc_distance for every
+    # new keyframe count — measured ~1.9 s per sweep through the remote
+    # tunnel (r5)
+    d = np.array(sc_distance(query_desc, db_desc))
+    d[n_nodes:] = np.inf                               # empty slots
     d[max(0, query_idx - min_index_gap):] = np.inf     # too recent + self
     order = np.argsort(d, kind="stable")[:top_k]
     keep = order[d[order] <= max_distance]

@@ -65,6 +65,63 @@ class SLAMState:
     tried_pairs: dict = dataclasses.field(default_factory=dict)
 
 
+@functools.partial(jax.jit, static_argnames=("plane_verify", "use_sc",
+                                             "sc", "odom_edge_info"))
+def _store_kf_device(kf_points, kf_mask, kf_intensity, kf_normals, kf_desc,
+                     g_poses, g_ei, g_ej, g_eT, g_einfo, g_emask,
+                     k, e, pts_in, msk_in, inten_in, pose, last_kf_pose,
+                     *, plane_verify, use_sc, sc, odom_edge_info):
+    """The whole keyframe store as one compiled dispatch (see caller)."""
+    P = kf_points.shape[1]
+    n_in = pts_in.shape[0]
+    if inten_in is None:
+        inten_in = jnp.zeros((n_in,), jnp.float32)
+    if n_in >= P:
+        pts, msk, inten = pts_in[:P], msk_in[:P], inten_in[:P]
+    else:
+        pts = jnp.concatenate([
+            pts_in, jnp.full((P - n_in, 3), PAD_COORD, pts_in.dtype)])
+        msk = jnp.concatenate([msk_in, jnp.zeros((P - n_in,), bool)])
+        inten = jnp.concatenate([inten_in,
+                                 jnp.zeros((P - n_in,), jnp.float32)])
+
+    def upd(buf, val):
+        return jax.lax.dynamic_update_index_in_dim(buf, val, k, 0)
+
+    kf_points = upd(kf_points, pts)
+    kf_mask = upd(kf_mask, msk)
+    kf_intensity = upd(kf_intensity, inten)
+    if plane_verify:
+        from tpu_slam.registration.normals import estimate_normals
+        kf_normals = upd(kf_normals, estimate_normals(pts, msk))
+    if use_sc:
+        from tpu_slam.graph.scan_context import scan_context
+        kf_desc = upd(kf_desc, scan_context(
+            PointCloud(points=pts, mask=msk, attrs=inten[:, None]), sc))
+
+    pose_copy = pose + 0.0
+    g_poses = upd(g_poses, pose_copy)
+    # odometry edge (k-1, k) from consecutive RAW odometry poses (using
+    # graph.poses[k-1] here mixed frames once a sweep had optimized it);
+    # at k == 0 the write is masked out but still lands in slot e
+    Z = se3.inverse(last_kf_pose) @ pose
+    has_edge = k > 0
+    g_ei = jax.lax.dynamic_update_index_in_dim(
+        g_ei, jnp.where(has_edge, k - 1, g_ei[e]), e, 0)
+    g_ej = jax.lax.dynamic_update_index_in_dim(
+        g_ej, jnp.where(has_edge, k, g_ej[e]), e, 0)
+    g_eT = jax.lax.dynamic_update_index_in_dim(
+        g_eT, jnp.where(has_edge, Z, g_eT[e]), e, 0)
+    g_einfo = jax.lax.dynamic_update_index_in_dim(
+        g_einfo,
+        jnp.where(has_edge, odom_edge_info * jnp.eye(6, dtype=jnp.float32),
+                  g_einfo[e]), e, 0)
+    g_emask = jax.lax.dynamic_update_index_in_dim(
+        g_emask, jnp.where(has_edge, True, g_emask[e]), e, 0)
+    return (kf_points, kf_mask, kf_intensity, kf_normals, kf_desc, g_poses,
+            g_ei, g_ej, g_eT, g_einfo, g_emask, pose_copy)
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "capacity"))
 def _rebuild_map_batched(poses, kf_points, kf_mask, n, *, spec, capacity):
     """Map rebuild from keyframes in one jitted dispatch (see _rebuild_map)."""
@@ -217,64 +274,36 @@ class SLAMSystem:
                 or n_edges(state.graph) + 1 > cfg.edge_capacity):
             state = self._slide_window(state)
         k = state.n_keyframes
-        # re-pad (or truncate) the downsampled cloud to the keyframe cloud
-        # capacity — the scan capacity may be smaller OR larger
-        P = cfg.keyframe_cloud_capacity
-        n_in = scan_ds.points.shape[0]
-        inten_in = (scan_ds.attrs[:, 0] if scan_ds.attrs is not None
-                    else jnp.zeros((n_in,), jnp.float32))
-        if n_in >= P:
-            pts, msk = scan_ds.points[:P], scan_ds.mask[:P]
-            inten = inten_in[:P]
-        else:
-            pts = jnp.concatenate([
-                scan_ds.points,
-                jnp.full((P - n_in, 3), PAD_COORD, scan_ds.points.dtype)])
-            msk = jnp.concatenate([scan_ds.mask,
-                                   jnp.zeros((P - n_in,), bool)])
-            inten = jnp.concatenate([inten_in,
-                                     jnp.zeros((P - n_in,), jnp.float32)])
-        kf_points = state.kf_points.at[k].set(pts)
-        kf_mask = state.kf_mask.at[k].set(msk)
-        kf_intensity = state.kf_intensity.at[k].set(inten)
-        kf_normals = state.kf_normals
-        if cfg.loop.plane_verify:
-            from tpu_slam.registration.normals import estimate_normals
-            kf_normals = kf_normals.at[k].set(estimate_normals(pts, msk))
-        kf_desc = state.kf_desc
-        if cfg.loop.use_scan_context:
-            from tpu_slam.graph.scan_context import scan_context
-            desc = scan_context(PointCloud(points=pts, mask=msk,
-                                           attrs=inten[:, None]),
-                                cfg.loop.sc)
-            kf_desc = kf_desc.at[k].set(desc)
-
-        graph, idx = add_node(state.graph, state.odom.pose)
-        assert idx == k
-        if k > 0:
-            # the odometry measurement is the relative motion between
-            # consecutive RAW odometry poses (last_kf_pose is the raw pose
-            # at the previous keyframe). Using graph.poses[k-1] here mixed
-            # frames once a sweep had optimized it: every later edge then
-            # encoded (optimized_{k-1})^-1 raw_k, and the solve was dragged
-            # back to raw drift — measured as loop closures changing the
-            # trajectory by nothing
-            Z = se3.inverse(state.last_kf_pose) @ state.odom.pose
-            graph = add_edge(graph, k - 1, k, Z,
-                             info=cfg.odom_edge_info
-                             * jnp.eye(6, dtype=jnp.float32))
-        # COPY the pose: the dense engine donates its state every step, and
-        # a shared buffer would be deleted out from under last_kf_pose
+        e = n_edges(state.graph)
+        # ONE device dispatch for the whole store (pad + normals + scan
+        # context + dynamic-slice writes + odometry edge): through a
+        # remote-attached TPU each separate op pays a full round-trip,
+        # and the previous ~10-dispatch store measured 0.25 s/keyframe —
+        # 80% of the SLAM step (r5)
+        (kf_points, kf_mask, kf_intensity, kf_normals, kf_desc, g_poses,
+         g_ei, g_ej, g_eT, g_einfo, g_emask, pose_copy) = _store_kf_device(
+            state.kf_points, state.kf_mask, state.kf_intensity,
+            state.kf_normals, state.kf_desc, state.graph.poses,
+            state.graph.edge_i, state.graph.edge_j, state.graph.edge_T,
+            state.graph.edge_info, state.graph.edge_mask,
+            jnp.int32(k), jnp.int32(e), scan_ds.points, scan_ds.mask,
+            (scan_ds.attrs[:, 0] if scan_ds.attrs is not None else None),
+            state.odom.pose, state.last_kf_pose,
+            plane_verify=cfg.loop.plane_verify,
+            use_sc=cfg.loop.use_scan_context, sc=cfg.loop.sc,
+            odom_edge_info=cfg.odom_edge_info)
+        graph = dataclasses.replace(
+            state.graph, poses=g_poses, n_nodes=jnp.int32(k + 1),
+            edge_i=g_ei, edge_j=g_ej, edge_T=g_eT, edge_info=g_einfo,
+            edge_mask=g_emask)
         return dataclasses.replace(state, graph=graph, kf_points=kf_points,
                                    kf_mask=kf_mask,
                                    kf_intensity=kf_intensity,
                                    kf_normals=kf_normals,
                                    kf_desc=kf_desc,
                                    n_keyframes=k + 1,
-                                   last_kf_pose=jnp.array(state.odom.pose,
-                                                          copy=True),
-                                   last_kf_pose_np=np.asarray(
-                                       state.odom.pose))
+                                   last_kf_pose=pose_copy,
+                                   last_kf_pose_np=np.asarray(pose_copy))
 
     # -- loop closure -----------------------------------------------------
 
@@ -328,12 +357,26 @@ class SLAMSystem:
                 self.loop_debug.append({"n": n, "pairs": []})
             return state, 0
 
+        # PAD the batch to the static max_candidates: the vmapped
+        # symmetric-ICP verify recompiles for every distinct K, and a
+        # fresh compile of the 40-iteration solve costs ~10 s through the
+        # remote tunnel — measured as 85% of the whole SLAM wall time
+        # (r5). Dummy slots re-verify pair 0 and are dropped after.
+        K = cfg.loop.max_candidates
+        n_real = len(ci)
+        if n_real < K:
+            ci = np.concatenate([ci, np.full(K - n_real, ci[0], np.int32)])
+            cj = np.concatenate([cj, np.full(K - n_real, cj[0], np.int32)])
+
         res, accept = verify_candidates(
             state.kf_points, state.kf_mask, state.graph.poses, ci, cj,
             cfg.loop,
             clouds_normals=(state.kf_normals if cfg.loop.plane_verify
                             else None))
-        accept_np = np.asarray(accept)
+        accept_np = np.array(accept)       # np.asarray of a jax array is
+        accept_np[n_real:] = False         # read-only; this one mutates
+        ci, cj = ci[:n_real], cj[:n_real]
+        accept_np = accept_np[:n_real]
         # record every verified pair's outcome for the retry cooldown
         tried = dict(state.tried_pairs)
         for k in range(len(ci)):
